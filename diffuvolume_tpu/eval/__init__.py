@@ -1,0 +1,2 @@
+from diffuvolume_tpu.eval.metrics import epe_metric, d1_metric, thres_metric, metrics_batch
+from diffuvolume_tpu.eval.pipeline import acv_ddim_inference

@@ -1,0 +1,95 @@
+"""Two-model DDIM inference pipeline.
+
+The reference's inference contract (SceneFlow/test_sceneflow_ddim.py:101-108):
+pass 1 runs the *frozen pretrained baseline* for an initial disparity, pass 2
+feeds it to the DiffuVolume model as conditioning and runs the short DDIM loop.
+
+The pipeline is compiled as two cached XLA programs — (a) baseline pass +
+volume construction + conditioning encode, (b) the DDIM scan.  A single
+fused program is numerically fragile here: XLA's global fusion of the
+baseline pass into the scan body has been observed to manufacture NaNs
+(valid per-stage outputs, NaN composite output; see tests/test_pipeline.py),
+and two programs lose nothing — the scan dominates runtime.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from diffuvolume_tpu.diffusion import DDIMConfig, ddim_sample, make_schedule
+from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
+from diffuvolume_tpu.models.acv import ACVNet
+from diffuvolume_tpu.ops.regression import resize_bilinear
+
+
+@functools.cache
+def _stages(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig):
+    sched = make_schedule(1000)
+
+    @jax.jit
+    def prep(baseline_vars, ddim_vars, left, right):
+        h4, w4 = left.shape[1] // 4, left.shape[2] // 4
+        baseline_disp = baseline_model.apply(
+            baseline_vars, left, right, train=False
+        )[-1]
+        # Conditioning: clamp → bilinear ↓4 → /4 (test_sceneflow_ddim.py:103-106).
+        disp_q = (
+            resize_bilinear(
+                jnp.clip(baseline_disp, 0.0, cfg.max_disp - 1), (h4, w4), 1, 2
+            )
+            / 4.0
+        )
+        baseline_latent = encode_disparity_volume(disp_q, cfg.num_bins, cfg.scale)
+        ac_volume, _ = ddim_model.apply(
+            ddim_vars, left, right, train=False, method=ACVNet.build_cost_volume
+        )
+        return baseline_disp, baseline_latent, ac_volume
+
+    @jax.jit
+    def sample(ddim_vars, ac_volume, baseline_disp, baseline_latent, rng):
+        h, w = baseline_disp.shape[1], baseline_disp.shape[2]
+
+        def denoise_fn(latent, t):
+            return ddim_model.apply(
+                ddim_vars, ac_volume, latent, t, (h, w), method=ACVNet.denoise
+            )
+
+        final, _ = ddim_sample(
+            sched, cfg, denoise_fn, baseline_disp, baseline_latent, rng
+        )
+        return final
+
+    return prep, sample
+
+
+def acv_ddim_inference(
+    baseline_model: ACVNet,
+    ddim_model: ACVNet,
+    baseline_vars,
+    ddim_vars,
+    left: jax.Array,
+    right: jax.Array,
+    rng: jax.Array,
+    cfg: DDIMConfig = DDIMConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """Full two-pass DiffuVolume inference for the ACVNet backbone.
+
+    Args:
+      baseline_model / ddim_model: module definitions (hashable, cached on).
+      baseline_vars / ddim_vars: their parameter/batch-stats pytrees.
+      left, right: ``(B, H, W, 3)`` normalized stereo pair (H, W multiples of 32
+        in the reference's crops; any multiple of 16 works here).
+      rng: PRNG key for the DDIM stochasticity.
+
+    Returns:
+      ``(final_disp (B,H,W), baseline_disp (B,H,W))``.
+    """
+    prep, sample = _stages(baseline_model, ddim_model, cfg)
+    baseline_disp, baseline_latent, ac_volume = prep(
+        baseline_vars, ddim_vars, left, right
+    )
+    final = sample(ddim_vars, ac_volume, baseline_disp, baseline_latent, rng)
+    return final, baseline_disp

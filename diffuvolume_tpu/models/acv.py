@@ -1,0 +1,234 @@
+"""ACVNet backbone (+ DiffuVolume diffusion variant) in flax.linen.
+
+A TPU-native re-design of the reference ACVNet / ACVNet_DDIM pair
+(SceneFlow/models/acv.py:94-260, SceneFlow/models/acv_ddim.py:122-482):
+channels-last layouts, one module with a ``diffusion`` switch (the reference
+duplicates the whole network), cost volumes from
+``diffuvolume_tpu.ops.cost_volume``, and a method-based interface so the
+generic DDIM sampler can re-run the aggregation head per step without
+rebuilding the volume:
+
+  * ``build_cost_volume(left, right)`` → attention-weighted concat volume
+  * ``denoise(ac_volume, latent, t, out_hw)`` → one diffusion-conditioned
+    aggregation pass (the reference's ``model_predictions`` body)
+  * ``__call__`` → the training / baseline-eval forward
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from diffuvolume_tpu.models.layers import (
+    ACVFeatureExtractor,
+    ConvBN,
+    DynamicHead,
+    HourglassACV,
+    torch_conv_init,
+)
+from diffuvolume_tpu.ops.cost_volume import build_concat_volume, build_gwc_volume
+from diffuvolume_tpu.ops.regression import upsample_cost_and_regress
+
+
+class ACVNet(nn.Module):
+    """ACVNet with attention cost-volume filtering, optionally diffusion-wrapped.
+
+    Volumes are ``(B, D, H4, W4, C)`` channels-last; the diffusion latent is
+    ``(B, D, H4, W4)`` (bins in the reference's channel slot).
+    """
+
+    max_disp: int = 192
+    diffusion: bool = True
+    attn_weights_only: bool = False
+    freeze_attn_weights: bool = False
+    scale: float = 1.0
+    num_groups: int = 40
+    concat_channels: int = 32
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        dt = self.dtype
+        self.feature_extraction = ACVFeatureExtractor(dtype=dt)
+        self.concatconv0 = ConvBN(128, 3, 1, 1, act="relu", dtype=dt)
+        self.concatconv1 = nn.Conv(
+            self.concat_channels, (1, 1), use_bias=False,
+            kernel_init=torch_conv_init((1, 1)), dtype=dt,
+        )
+        # Multi-dilation grouped "patch" convs over (H, W) per volume slice
+        # (acv_ddim.py:181-188; kernel (1,3,3) ≡ depthwise 2D over H,W).
+        def patch_conv(ch, dil):
+            return ConvBN(
+                ch, (1, 3, 3), 1, (0, dil, dil), (1, dil, dil), groups=ch,
+                use_bn=False, use_bias=False, dtype=dt,
+            )
+
+        self.patch = patch_conv(40, 1)
+        self.patch_l1 = patch_conv(8, 1)
+        self.patch_l2 = patch_conv(16, 2)
+        self.patch_l3 = patch_conv(16, 3)
+
+        self.dres1_att_0 = ConvBN(32, 3, 1, 1, act="relu", dtype=dt)
+        self.dres1_att_1 = ConvBN(32, 3, 1, 1, dtype=dt)
+        self.dres2_att_ = HourglassACV(32, dtype=dt)
+        self.classif_att_0 = ConvBN(32, 3, 1, 1, act="relu", dtype=dt)
+        self.classif_att_1 = nn.Conv(
+            1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
+            kernel_init=torch_conv_init((3, 3, 3)), dtype=dt,
+        )
+
+        if self.diffusion:
+            self.time_embedding = DynamicHead(d_model=self.max_disp // 4, dtype=dt)
+
+        self.dres0_0 = ConvBN(32, 3, 1, 1, act="relu", dtype=dt)
+        self.dres0_1 = ConvBN(32, 3, 1, 1, act="relu", dtype=dt)
+        self.dres1_0 = ConvBN(32, 3, 1, 1, act="relu", dtype=dt)
+        self.dres1_1 = ConvBN(32, 3, 1, 1, dtype=dt)
+        self.dres2 = HourglassACV(32, dtype=dt)
+        self.dres3 = HourglassACV(32, dtype=dt)
+
+        def classif():
+            return (
+                ConvBN(32, 3, 1, 1, act="relu", dtype=dt),
+                nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
+                        kernel_init=torch_conv_init((3, 3, 3)), dtype=dt),
+            )
+
+        self.classif0_0, self.classif0_1 = classif()
+        self.classif1_0, self.classif1_1 = classif()
+        self.classif2_0, self.classif2_1 = classif()
+
+    # ---- volume construction (acv_ddim.py:373-390) ----
+
+    def build_cost_volume(
+        self, left: jax.Array, right: jax.Array, train: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
+        """Features → gwc attention weights → attention-filtered concat volume.
+
+        Returns ``(ac_volume (B,D,H4,W4,2*cc), att_weights (B,D,H4,W4,1))``.
+        """
+        feat_l = self.feature_extraction(left, train)
+        feat_r = self.feature_extraction(right, train)
+        gwc = build_gwc_volume(feat_l, feat_r, self.max_disp // 4, self.num_groups)
+        gwc = self.patch(gwc, train)
+        p1 = self.patch_l1(gwc[..., :8], train)
+        p2 = self.patch_l2(gwc[..., 8:24], train)
+        p3 = self.patch_l3(gwc[..., 24:40], train)
+        patch_volume = jnp.concatenate([p1, p2, p3], axis=-1)
+        att = self.dres1_att_1(self.dres1_att_0(patch_volume, train), train)
+        att = self.dres2_att_(att, train)
+        att_weights = self.classif_att_1(self.classif_att_0(att, train))
+
+        cl = self.concatconv1(self.concatconv0(feat_l, train))
+        cr = self.concatconv1(self.concatconv0(feat_r, train))
+        concat_volume = build_concat_volume(cl, cr, self.max_disp // 4)
+        ac_volume = jax.nn.softmax(att_weights, axis=1) * concat_volume
+        return ac_volume, att_weights
+
+    # ---- aggregation (acv_ddim.py:452-455 / 261-264) ----
+
+    def _aggregate(self, volume: jax.Array, train: bool):
+        cost0 = self.dres0_1(self.dres0_0(volume, train), train)
+        cost0 = self.dres1_1(self.dres1_0(cost0, train), train) + cost0
+        out1 = self.dres2(cost0, train)
+        out2 = self.dres3(out1, train)
+        return cost0, out1, out2
+
+    def _head(self, conv_a, conv_b, x, out_hw, train):
+        cost = conv_b(conv_a(x, train))[..., 0]  # (B, D, H4, W4)
+        return upsample_cost_and_regress(cost, self.max_disp, out_hw)
+
+    # ---- diffusion-conditioned single pass (acv_ddim.py:254-296) ----
+
+    def denoise(
+        self,
+        ac_volume: jax.Array,
+        latent: jax.Array,
+        t: jax.Array,
+        out_hw: tuple[int, int],
+        train: bool = False,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Inject the noisy latent into the volume, aggregate, regress.
+
+        Returns ``(disp (B,H,W), prob (B,192,H,W))``.
+        """
+        noise = self.time_embedding(latent, t)
+        noise = jnp.clip(noise, -self.scale, self.scale)
+        noise = (noise / self.scale + 1.0) / 2.0
+        vol = ac_volume * noise[..., None]
+        _, _, out2 = self._aggregate(vol, train)
+        return self._head(self.classif2_0, self.classif2_1, out2, out_hw, train)
+
+    # ---- forwards ----
+
+    def __call__(
+        self,
+        left: jax.Array,
+        right: jax.Array,
+        disp_gt_q: jax.Array | None = None,
+        t: jax.Array | None = None,
+        noise: jax.Array | None = None,
+        mask_gt: jax.Array | None = None,
+        train: bool = False,
+    ) -> list[jax.Array]:
+        """Training forward (diffusion: acv_ddim.py:424-482; baseline:
+        acv.py:168-260) and baseline eval forward.
+
+        Args:
+          left, right: ``(B, H, W, 3)`` normalized images.
+          disp_gt_q: ``(B, H4, W4)`` quarter-res GT disparity in bin units
+            (diffusion training only).
+          t: ``(B,)`` diffusion timesteps (the reference samples one per batch
+            and broadcasts — do that upstream).
+          noise: ``(B, 48, H4, W4)`` Gaussian noise for q_sample.
+          mask_gt: optional ``(B, H4, W4)`` validity mask for the codec.
+          train: training mode (BatchNorm batch stats, aux heads).
+        """
+        out_hw = (left.shape[1], left.shape[2])
+
+        if self.freeze_attn_weights:
+            build = lambda: jax.tree.map(
+                jax.lax.stop_gradient, self.build_cost_volume(left, right, train)
+            )
+        else:
+            build = lambda: self.build_cost_volume(left, right, train)
+        ac_volume, att_weights = build()
+
+        if self.attn_weights_only:
+            pred_att, _ = upsample_cost_and_regress(
+                att_weights[..., 0], self.max_disp, out_hw
+            )
+            return [pred_att]
+
+        if self.diffusion and train:
+            from diffuvolume_tpu.diffusion import make_schedule, q_sample
+            from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
+
+            assert disp_gt_q is not None and t is not None and noise is not None
+            x_start = encode_disparity_volume(
+                disp_gt_q, num_bins=self.max_disp // 4, scale=self.scale,
+                valid_mask=mask_gt,
+            )
+            sched = make_schedule(1000)
+            noisy = q_sample(sched, x_start, t, noise)
+            noisy = self.time_embedding(noisy, t)
+            noisy = jnp.clip(noisy, -self.scale, self.scale)
+            noisy = (noisy / self.scale + 1.0) / 2.0
+            ac_volume = ac_volume * noisy[..., None]
+
+        cost0, out1, out2 = self._aggregate(ac_volume, train)
+        pred2, _ = self._head(self.classif2_0, self.classif2_1, out2, out_hw, train)
+
+        if not train:
+            return [pred2]
+
+        pred_att, _ = upsample_cost_and_regress(
+            att_weights[..., 0], self.max_disp, out_hw
+        )
+        pred0, _ = self._head(self.classif0_0, self.classif0_1, cost0, out_hw, train)
+        pred1, _ = self._head(self.classif1_0, self.classif1_1, out1, out_hw, train)
+        if self.freeze_attn_weights:
+            return [pred0, pred1, pred2]
+        return [pred_att, pred0, pred1, pred2]

@@ -1,0 +1,358 @@
+"""Shared flax.linen building blocks (channels-last, torch-parity semantics).
+
+Numeric parity notes (validated by tests/test_layers_torch_parity.py against
+torch CPU oracles):
+  * Convolutions use explicit torch-style symmetric padding tuples — never
+    'SAME', whose asymmetric stride-2 padding differs from torch.
+  * BatchNorm: torch momentum 0.1 ≡ flax momentum 0.9; eps 1e-5.
+  * ConvTranspose3d(k, s, p, op) is expressed as an input-dilated conv with
+    padding (k-1-p, k-1-p+op) — exactly torch's gradient-of-conv semantics.
+  * GELU is the exact (erf) variant, matching torch nn.GELU's default.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def _tuplify(x, n):
+    if isinstance(x, (tuple, list)):
+        assert len(x) == n
+        return tuple(x)
+    return (x,) * n
+
+
+def torch_conv_init(kernel_size: Sequence[int]) -> Callable:
+    """Reference conv init: normal(0, sqrt(2/n)), n = prod(kernel)*out_channels
+    (SceneFlow/models/acv_ddim.py:224-230)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        # flax kernel shape: (*kernel, in, out)
+        n = int(np.prod(kernel_size)) * shape[-1]
+        return jax.random.normal(key, shape, dtype) * math.sqrt(2.0 / n)
+
+    return init
+
+
+def mish(x: jax.Array) -> jax.Array:
+    """x * tanh(softplus(x)) — KITTI12/models/submodule.py:11-18."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+_ACTS = {
+    None: lambda x: x,
+    "relu": jax.nn.relu,
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "mish": mish,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "silu": jax.nn.silu,
+}
+
+
+class ConvBN(nn.Module):
+    """Conv (2D or 3D by input rank) + optional BatchNorm + optional activation.
+
+    Matches the reference's convbn/convbn_3d blocks (SceneFlow/models/
+    submodule.py:83-102): no conv bias when BN is used, torch padding rule
+    ``padding = dilation if dilation > 1 else pad``.
+    """
+
+    features: int
+    kernel_size: Any = 3
+    stride: Any = 1
+    padding: Any = 1
+    dilation: Any = 1
+    groups: int = 1
+    use_bn: bool = True
+    act: str | None = None
+    use_bias: bool | None = None  # default: bias iff no BN
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ndim = x.ndim - 2  # spatial dims
+        k = _tuplify(self.kernel_size, ndim)
+        s = _tuplify(self.stride, ndim)
+        p = _tuplify(self.padding, ndim)
+        d = _tuplify(self.dilation, ndim)
+        bias = (not self.use_bn) if self.use_bias is None else self.use_bias
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=s,
+            padding=[(pi, pi) for pi in p],
+            kernel_dilation=d,
+            feature_group_count=self.groups,
+            use_bias=bias,
+            kernel_init=torch_conv_init(k),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        return _ACTS[self.act](x)
+
+
+class ConvTransposeBN(nn.Module):
+    """Torch-equivalent ConvTranspose (2D/3D) + optional BatchNorm.
+
+    Torch ``ConvTranspose(k, stride s, padding p, output_padding op)`` equals an
+    input-dilated correlation with the spatially-flipped kernel and padding
+    ``(k-1-p, k-1-p+op)``.  The kernel parameter is stored pre-flipped in
+    ``(*k, in, out)`` conv orientation, so the forward pass is a single
+    ``conv_general_dilated``; the torch→jax converter performs the flip.
+    """
+
+    features: int
+    kernel_size: Any = 3
+    stride: Any = 2
+    padding: Any = 1
+    output_padding: Any = 1
+    use_bn: bool = True
+    act: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ndim = x.ndim - 2
+        k = _tuplify(self.kernel_size, ndim)
+        s = _tuplify(self.stride, ndim)
+        p = _tuplify(self.padding, ndim)
+        op = _tuplify(self.output_padding, ndim)
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_conv_init(k), (*k, c_in, self.features), jnp.float32
+        )
+        pad = [(ki - 1 - pi, ki - 1 - pi + opi) for ki, pi, opi in zip(k, p, op)]
+        dn_spec = {
+            2: ("NHWC", "HWIO", "NHWC"),
+            3: ("NDHWC", "DHWIO", "NDHWC"),
+        }[ndim]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1,) * ndim,
+            padding=pad,
+            lhs_dilation=s,
+            dimension_numbers=dn_spec,
+        )
+        if self.use_bn:
+            y = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(y)
+        return _ACTS[self.act](y)
+
+
+class BasicBlock(nn.Module):
+    """2-D residual block (SceneFlow/models/submodule.py:307-330)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = self.dilation if self.dilation > 1 else 1
+        out = ConvBN(
+            self.features, 3, self.stride, pad, self.dilation, act="relu",
+            dtype=self.dtype, name="conv1",
+        )(x, train)
+        out = ConvBN(
+            self.features, 3, 1, pad, self.dilation, dtype=self.dtype, name="conv2"
+        )(out, train)
+        if self.downsample:
+            x = ConvBN(
+                self.features, 1, self.stride, 0, use_bn=True, dtype=self.dtype,
+                name="downsample",
+            )(x, train)
+        return out + x
+
+
+class AttentionBlock3D(nn.Module):
+    """Windowed multi-head self-attention over a 3-D cost volume.
+
+    Reference: SceneFlow/models/submodule.py:383-429 — (4,4,4) blocks, H/W
+    padded up to block multiples with masked attention for pad positions, then
+    a final 1×1×1 conv.  Input/output ``(B, D, H, W, C)`` channels-last.
+    """
+
+    num_heads: int = 16
+    block: tuple[int, int, int] = (4, 4, 4)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, d0, h0, w0, c = x.shape
+        b0, b1, b2 = self.block
+        assert d0 % b0 == 0, (d0, b0)
+        pad_b = (b1 - h0 % b1) % b1
+        pad_r = (b2 - w0 % b2) % b2
+        x_p = jnp.pad(x, ((0, 0), (0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        _, d, h, w, _ = x_p.shape
+        nd, nh, nw = d // b0, h // b1, w // b2
+
+        blk = x_p.reshape(b, nd, b0, nh, b1, nw, b2, c)
+        blk = blk.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+            b, nd * nh * nw, b0 * b1 * b2, c
+        )
+
+        qkv = nn.Dense(
+            3 * c, use_bias=True, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(), name="qkv",
+        )(blk)
+        qkv = qkv.reshape(b, nd * nh * nw, b0 * b1 * b2, 3, self.num_heads, c // self.num_heads)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # (B, nblk, blk, heads, hd) -> (B, nblk, heads, blk, hd)
+        q = q.transpose(0, 1, 3, 2, 4)
+        k = k.transpose(0, 1, 3, 2, 4)
+        v = v.transpose(0, 1, 3, 2, 4)
+        scale = (c // self.num_heads) ** -0.5
+        attn = jnp.einsum("bnhqd,bnhkd->bnhqk", q, k) * scale
+
+        if pad_b > 0 or pad_r > 0:
+            # Pad-row/col positions may only attend within their own pad
+            # status (submodule.py:414-421).
+            pad_flag = jnp.zeros((h, w), dtype=self.dtype)
+            if pad_b > 0:
+                pad_flag = pad_flag.at[-pad_b:, :].set(1.0)
+            if pad_r > 0:
+                pad_flag = pad_flag.at[:, -pad_r:].set(1.0)
+            pf = pad_flag.reshape(nh, b1, nw, b2).transpose(0, 2, 1, 3).reshape(
+                nh * nw, b1 * b2
+            )
+            amask = pf[:, None, :] - pf[:, :, None]  # (nh*nw, blk_hw, blk_hw)
+            amask = jnp.where(amask != 0, -1000.0, 0.0)
+            amask = jnp.tile(amask, (nd, b0, b0))  # (nd*nh*nw, blk, blk)
+            attn = attn + amask[None, :, None, :, :]
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bnhqk,bnhkd->bnhqd", attn, v)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, nd, nh, nw, b0, b1, b2, c)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, d, h, w, c)
+        out = out[:, :, :h0, :w0, :]
+        out = nn.Conv(
+            c, (1, 1, 1), use_bias=True, dtype=self.dtype,
+            kernel_init=torch_conv_init((1, 1, 1)), name="final1x1",
+        )(out)
+        return out
+
+
+class HourglassACV(nn.Module):
+    """ACV-style 3-D hourglass with bottleneck window attention.
+
+    Reference: SceneFlow/models/acv_ddim.py:56-93.  Input ``(B, D, H, W, C)``.
+    """
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ch = self.channels
+        c1 = ConvBN(ch * 2, 3, 2, 1, act="relu", dtype=self.dtype, name="conv1")(x, train)
+        c2 = ConvBN(ch * 2, 3, 1, 1, act="relu", dtype=self.dtype, name="conv2")(c1, train)
+        c3 = ConvBN(ch * 4, 3, 2, 1, act="relu", dtype=self.dtype, name="conv3")(c2, train)
+        c4 = ConvBN(ch * 4, 3, 1, 1, act="relu", dtype=self.dtype, name="conv4")(c3, train)
+        c4 = AttentionBlock3D(num_heads=16, block=(4, 4, 4), dtype=self.dtype,
+                              name="attention_block")(c4)
+        c5 = ConvTransposeBN(ch * 2, 3, 2, 1, 1, dtype=self.dtype, name="conv5")(c4, train)
+        r2 = ConvBN(ch * 2, 1, 1, 0, dtype=self.dtype, name="redir2")(c2, train)
+        c5 = jax.nn.relu(c5 + r2)
+        c6 = ConvTransposeBN(ch, 3, 2, 1, 1, dtype=self.dtype, name="conv6")(c5, train)
+        r1 = ConvBN(ch, 1, 1, 0, dtype=self.dtype, name="redir1")(x, train)
+        return jax.nn.relu(c6 + r1)
+
+
+class ACVFeatureExtractor(nn.Module):
+    """ACVNet ResNet-ish feature pyramid → 320-ch gwc feature at 1/4 res.
+
+    Reference: SceneFlow/models/acv_ddim.py:14-53.  Input ``(B, H, W, 3)``,
+    output ``(B, H/4, W/4, 320)`` = concat(layer2 64, layer3 128, layer4 128).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(3):
+            x = ConvBN(32, 3, 2 if i == 0 else 1, 1, act="relu", dtype=self.dtype,
+                       name=f"firstconv{i}")(x, train)
+        for i in range(3):
+            x = BasicBlock(32, dtype=self.dtype, name=f"layer1_{i}")(x, train)
+        l2 = x
+        for i in range(16):
+            l2 = BasicBlock(
+                64, stride=2 if i == 0 else 1, downsample=(i == 0),
+                dtype=self.dtype, name=f"layer2_{i}",
+            )(l2, train)
+        l3 = l2
+        for i in range(3):
+            l3 = BasicBlock(128, downsample=(i == 0), dtype=self.dtype,
+                            name=f"layer3_{i}")(l3, train)
+        l4 = l3
+        for i in range(3):
+            l4 = BasicBlock(128, dilation=2, dtype=self.dtype,
+                            name=f"layer4_{i}")(l4, train)
+        return jnp.concatenate([l2, l3, l4], axis=-1)
+
+
+class SinusoidalTimeEmbed(nn.Module):
+    """Sinusoidal timestep embedding (SceneFlow/models/head.py:22-34)."""
+
+    dim: int
+
+    def __call__(self, t: jax.Array) -> jax.Array:
+        half = self.dim // 2
+        freq = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1)))
+        ang = t.astype(jnp.float32)[:, None] * freq[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class DynamicHead(nn.Module):
+    """Time-embedding head: adds a per-bin scale-shift to the noisy volume.
+
+    Reference: SceneFlow/models/head.py:51-82 (xavier-uniform weights, zero
+    bias).  The KITTI15 variant embeds at ``d_model=180`` and linearly
+    interpolates the vector down to ``out_bins=48`` along the bin axis
+    (KITTI15/core/head.py:74-88) — set ``out_bins`` for that behavior.
+    """
+
+    d_model: int
+    out_bins: int | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, noisy: jax.Array, t: jax.Array) -> jax.Array:
+        # noisy: (B, bins, H, W); t: (B,)
+        dense = lambda f, name: nn.Dense(
+            f, dtype=self.dtype, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros, name=name,
+        )
+        emb = SinusoidalTimeEmbed(self.d_model, name="sin")(t)
+        emb = dense(self.d_model * 4, "time1")(emb)
+        emb = _ACTS["gelu"](emb)
+        emb = dense(self.d_model * 4, "time2")(emb)
+        ss = dense(self.d_model, "block")(jax.nn.silu(emb))  # (B, d_model)
+        if self.out_bins is not None and self.out_bins != self.d_model:
+            from diffuvolume_tpu.ops.regression import resize_linear
+
+            ss = resize_linear(ss, self.out_bins, axis=1, align_corners=False)
+        return noisy + ss[:, :, None, None]

@@ -1,0 +1,153 @@
+"""Samplers and warpers (gather-free where possible, stereo-specialized).
+
+Stereo sampling only ever moves along the scanline (the reference asserts this,
+KITTI15/core/utils/utils.py:68), so the general 2-D grid_sample of the
+reference collapses to vectorized 1-D linear interpolation here — far cheaper
+than a general gather on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linear_sample_1d(values: jax.Array, coords: jax.Array, zero_pad: bool = True) -> jax.Array:
+    """Linear interpolation of ``values`` along its second-to-last axis.
+
+    Equivalent to the reference ``bilinear_sampler`` (KITTI15/core/utils/utils.py:59-77):
+    pixel coordinates, align_corners=True normalization, zeros outside the range.
+
+    Args:
+      values: ``(..., W, C)``.
+      coords: ``(..., N)`` pixel coordinates into the ``W`` axis (broadcastable
+        against the leading dims of ``values``).
+      zero_pad: if True, out-of-range samples are zero (grid_sample
+        ``padding_mode='zeros'``); if False they clamp to the edge.
+
+    Returns:
+      ``(..., N, C)`` sampled values.
+    """
+    w = values.shape[-2]
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    lo_raw = lo.astype(jnp.int32)
+    lo_i = jnp.clip(lo_raw, 0, w - 1)
+    hi_i = jnp.clip(lo_raw + 1, 0, w - 1)
+    v_lo = jnp.take_along_axis(values, lo_i[..., None], axis=-2)
+    v_hi = jnp.take_along_axis(values, hi_i[..., None], axis=-2)
+    out = v_lo * (1.0 - frac[..., None]) + v_hi * frac[..., None]
+    if zero_pad:
+        # grid_sample zero padding: contributions from taps outside [0, W-1]
+        # vanish individually (so coords in (-1, 0) and (W-1, W) fade linearly).
+        w_lo = jnp.where((lo >= 0) & (lo <= w - 1), 1.0 - frac, 0.0)
+        w_hi = jnp.where((lo + 1 >= 0) & (lo + 1 <= w - 1), frac, 0.0)
+        out = v_lo * w_lo[..., None] + v_hi * w_hi[..., None]
+    return out
+
+
+def stereo_bilinear_sample(volume: jax.Array, x_coords: jax.Array) -> jax.Array:
+    """Sample a per-pixel 1-D signal at fractional disparity coordinates.
+
+    TPU-native equivalent of the reference's ``bilinear_sampler`` call in the
+    geometry lookup (KITTI15/core/geometry_ddim.py:33-69): the volume has been
+    reshaped so each pixel owns a length-``D`` vector; we linearly sample it at
+    ``N`` query positions.
+
+    Args:
+      volume: ``(P, D, C)`` per-pixel vectors (``P`` = flattened B*H*W).
+      x_coords: ``(P, N)`` fractional positions in ``[0, D-1]`` (out-of-range → 0).
+
+    Returns:
+      ``(P, N, C)``.
+    """
+    return linear_sample_1d(volume, x_coords, zero_pad=True)
+
+
+def grid_sample_2d(
+    img: jax.Array, x_pix: jax.Array, y_pix: jax.Array, zero_pad: bool = True
+) -> jax.Array:
+    """Bilinear 2-D sampling at pixel coordinates with zero padding.
+
+    Args:
+      img: ``(B, H, W, C)``.
+      x_pix, y_pix: ``(B, Ho, Wo)`` source pixel coordinates.
+
+    Returns:
+      ``(B, Ho, Wo, C)``.
+    """
+    b, h, w, c = img.shape
+    x0 = jnp.floor(x_pix)
+    y0 = jnp.floor(y_pix)
+    fx = x_pix - x0
+    fy = y_pix - y0
+
+    def tap(yi, xi, wy, wx):
+        yc = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        xc = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        flat = img.reshape(b, h * w, c)
+        idx = yc * w + xc
+        v = jnp.take_along_axis(flat, idx.reshape(b, -1, 1), axis=1).reshape(*idx.shape, c)
+        wgt = wy * wx
+        if zero_pad:
+            inside = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
+            wgt = jnp.where(inside, wgt, 0.0)
+        return v * wgt[..., None]
+
+    out = (
+        tap(y0, x0, 1 - fy, 1 - fx)
+        + tap(y0, x0 + 1, 1 - fy, fx)
+        + tap(y0 + 1, x0, fy, 1 - fx)
+        + tap(y0 + 1, x0 + 1, fy, fx)
+    )
+    return out
+
+
+def warp_right_to_left(right: jax.Array, disp: jax.Array) -> jax.Array:
+    """Warp the right image/features to the left view by a disparity map.
+
+    Faithful to KITTI12/models/submodule.py:137-176 including its coordinate
+    quirk: the grid is normalized with the align_corners=True convention but
+    sampled by grid_sample's default align_corners=False, so the effective
+    source coordinate is ``c * S/(S-1) - 0.5`` per axis.  A validity mask
+    (warped ones < 0.999 → 0) multiplies the output.
+
+    Args:
+      right: ``(B, H, W, C)``.
+      disp: ``(B, H, W)`` left-view disparity.
+
+    Returns:
+      ``(B, H, W, C)`` warped-and-masked right features.
+    """
+    b, h, w, c = right.shape
+    xx = jnp.arange(w, dtype=disp.dtype)[None, None, :]
+    yy = jnp.arange(h, dtype=disp.dtype)[None, :, None]
+    x_src = (xx - disp) * (w / max(w - 1, 1)) - 0.5
+    y_src = jnp.broadcast_to(yy * (h / max(h - 1, 1)) - 0.5, disp.shape)
+    out = grid_sample_2d(right, x_src, y_src, zero_pad=True)
+    ones = jnp.ones_like(right)
+    mask = grid_sample_2d(ones, x_src, y_src, zero_pad=True)
+    mask = jnp.where(mask < 0.999, 0.0, 1.0)
+    return out * mask
+
+
+def context_upsample(disp_low: jax.Array, up_weights: jax.Array) -> jax.Array:
+    """Superpixel (convex 3×3 combination) upsampling of a low-res disparity.
+
+    Reference: KITTI15/core/submodule.py:241-252 — unfold the 3×3 neighborhood
+    (zero padding), nearest-upsample ×4, blend with learned softmax weights.
+
+    Args:
+      disp_low: ``(B, H, W)`` quarter-resolution disparity.
+      up_weights: ``(B, 9, 4H, 4W)`` softmax weights (unfold order: row-major
+        over (dy, dx) ∈ {-1,0,1}²).
+
+    Returns:
+      ``(B, 4H, 4W)``.
+    """
+    b, h, w = disp_low.shape
+    padded = jnp.pad(disp_low, ((0, 0), (1, 1), (1, 1)))
+    shifts = [padded[:, dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+    unfold = jnp.stack(shifts, axis=1)  # (B, 9, H, W)
+    up = jnp.repeat(jnp.repeat(unfold, 4, axis=2), 4, axis=3)  # nearest ×4
+    return jnp.sum(up * up_weights, axis=1)

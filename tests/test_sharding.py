@@ -1,0 +1,90 @@
+"""Multi-device (8 virtual CPU chips) sharded training tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffuvolume_tpu.models.acv import ACVNet
+from diffuvolume_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from diffuvolume_tpu.train.loop import create_train_state, make_train_step
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    assert mesh.shape["volume"] == 1
+    mesh2 = make_mesh(n_data=4, n_volume=2)
+    assert mesh2.shape == {"data": 4, "volume": 2}
+
+
+def test_sharded_train_step_matches_single_device():
+    """Same batch, same rngs: the 8-way data-parallel step must produce the
+    same loss and parameter update as the single-device step."""
+    model = ACVNet(max_disp=64, diffusion=True)
+    optimizer = optax.adam(1e-3)
+    b, h, w = 8, 32, 64
+
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "left": jax.random.normal(key, (b, h, w, 3)),
+        "right": jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, 3)),
+        "disp_gt": jax.random.uniform(
+            jax.random.fold_in(key, 2), (b, h, w), minval=1.0, maxval=60.0
+        ),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(1), (1, h, w), optimizer)
+    step_fn = make_train_step(model, optimizer)
+
+    # Single device.
+    s1, m1 = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(2))
+
+    # 8-way data parallel.
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    state_r = jax.device_put(state, repl)
+    batch_s = shard_batch(batch, mesh)
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(repl, {k: bsh for k in batch}, repl),
+        out_shardings=(repl, repl),
+    )
+    with mesh:
+        s8, m8 = jitted(state_r, batch_s, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-4)
+    # Spot-check a parameter leaf after the update.
+    leaf1 = jax.tree_util.tree_leaves(s1.params)[0]
+    leaf8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf8), atol=2e-5)
+
+
+def test_metrics_finite_and_loss_decreases():
+    """A few steps on a fixed batch should reduce the loss."""
+    model = ACVNet(max_disp=64, diffusion=True)
+    optimizer = optax.adam(1e-3)
+    b, h, w = 2, 32, 64
+    key = jax.random.PRNGKey(3)
+    batch = {
+        "left": jax.random.normal(key, (b, h, w, 3)) * 0.1,
+        "right": jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, 3)) * 0.1,
+        "disp_gt": jax.random.uniform(
+            jax.random.fold_in(key, 2), (b, h, w), minval=1.0, maxval=60.0
+        ),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(4), (1, h, w), optimizer)
+    step = jax.jit(make_train_step(model, optimizer))
+    losses = []
+    for i in range(4):
+        # Fixed rng → same t/noise each step: isolates optimization progress.
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
