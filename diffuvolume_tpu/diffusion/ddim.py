@@ -2,15 +2,17 @@
 
 One `lax.scan`-based implementation covering all three reference variants
 (SceneFlow/models/acv_ddim.py:298-370, KITTI12/models/pwcnet_ddim.py:530-602,
-KITTI15/core/igev_stereo_ddim.py:294-359), parameterized by `DDIMConfig`.
+KITTI15/core/igev_stereo_ddim.py:294-359), parameterized by `DDIMConfig` —
+see the presets at the bottom.
 
 The backbone enters only through ``denoise_fn(latent, t) -> (disp, prob)``:
 run the full aggregation/regression head with the noise volume multiplied into
 the cost volume, and return the full-resolution disparity plus the
-full-resolution probability volume (needed for the uncertainty score).  The
-DDIM algebra, disparity re-encoding, renewal masking, latent replacement, and
-ensembling are shared and fully jittable (static step count, no Python control
-flow on traced values).
+full-resolution probability volume (needed for the uncertainty score; pass
+zeros when ``use_uncertainty=False``).  The DDIM algebra, disparity
+re-encoding, renewal masking, latent replacement, and ensembling are shared
+and fully jittable (static step count, no Python control flow on traced
+values).
 """
 
 from __future__ import annotations
@@ -31,7 +33,8 @@ from diffuvolume_tpu.ops.regression import disparity_uncertainty, resize_bilinea
 class DDIMConfig:
     """Per-backbone DDIM sampling configuration.
 
-    Defaults are the SceneFlow/ACVNet values (acv_ddim.py:130-145,320-338,367).
+    Defaults are the SceneFlow/ACVNet values (acv_ddim.py:130-145,320-338,367);
+    see SCENEFLOW_DDIM / KITTI12_DDIM / KITTI15_DDIM below.
     """
 
     sampling_steps: int = 5
@@ -39,20 +42,36 @@ class DDIMConfig:
     scale: float = 1.0
     renewal: bool = True
     use_ensemble: bool = True
+    # Initial latent: the encoded baseline volume (SceneFlow, acv_ddim.py:311)
+    # or pure Gaussian noise (KITTI12/15, pwcnet_ddim.py:541).
+    init_mode: str = "baseline"  # "baseline" | "noise"
     # Renewal thresholds: |pred - baseline| < consistency_tau AND
-    # uncertainty < uncertainty_tau.  KITTI12 uses a different uncertainty
-    # threshold on the final step (pwcnet_ddim.py:560-567).
+    # uncertainty < uncertainty_tau (uncertainty term disabled for KITTI15,
+    # igev_stereo_ddim.py:316-319).
     consistency_tau: float = 1.0
     uncertainty_tau: float = 3.0
-    uncertainty_tau_last: float | None = None
+    use_uncertainty: bool = True
+    # KITTI12 computes but never uses a final-step mask and skips the mask
+    # accumulation on the last step (pwcnet_ddim.py:560-574).
+    skip_mask_update_on_last: bool = False
+    # KITTI15 additionally hard-clamps each step's prediction to the baseline
+    # where |disp - baseline| >= hard_clamp_tau BEFORE ensembling
+    # (igev_stereo_ddim.py:322-326).
+    hard_clamp_tau: float | None = None
     # Latent replacement for untrusted pixels: SceneFlow uses uniform noise
-    # (acv_ddim.py:360-362), KITTI12/15 re-noise the baseline volume with
-    # q_sample (pwcnet_ddim.py:590-593).
-    replace_mode: str = "uniform"  # "uniform" | "qsample"
+    # (acv_ddim.py:360-362), KITTI15 re-noises the baseline volume fresh each
+    # step ("qsample", igev_stereo_ddim.py:343-346), KITTI12 re-noises a
+    # RUNNING latent that compounds q_sample applications across steps
+    # ("qsample_compound", pwcnet_ddim.py:590-593 reassigns asd).
+    replace_mode: str = "uniform"  # "uniform" | "qsample" | "qsample_compound"
     # Ensemble weights over [baseline, step_1, ..., step_N].
     ensemble_weights: Sequence[float] = (0.5, 0.0, 0.0, 0.0, 0.2, 0.3)
     max_disp: int = 192
     num_bins: int = 48
+    # Disparity clamp ceiling for the x_start re-encode: max_disp-1 for
+    # SceneFlow/KITTI12 (acv_ddim.py:272), num_bins-1 for KITTI15's variant
+    # (igev_stereo_ddim.py:268).
+    reencode_clip_max: float | None = None
 
 
 def ddim_sample(
@@ -62,6 +81,7 @@ def ddim_sample(
     baseline_disp: jax.Array,
     baseline_latent: jax.Array,
     rng: jax.Array,
+    reencode_fn: Callable[[jax.Array], jax.Array] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the short DDIM trajectory and return the ensembled disparity.
 
@@ -73,9 +93,12 @@ def ddim_sample(
       baseline_disp: ``(B, H, W)`` full-resolution prediction of the frozen
         baseline network (the conditioning / `used` input).
       baseline_latent: ``(B, D, H4, W4)`` encoded baseline volume in
-        ``[-scale, scale]`` — both the initial latent (acv_ddim.py:311) and the
-        q_sample replacement source.
+        ``[-scale, scale]`` — the q_sample replacement source (and the initial
+        latent when ``init_mode='baseline'``).
       rng: PRNG key.
+      reencode_fn: optional override mapping the step disparity ``(B,H,W)`` to
+        the quarter-res bin-unit disparity used for the x_start re-encode
+        (KITTI15 adds its init-disp offset here); default = clamp → ↓4 → /4.
 
     Returns:
       ``(final_disp (B,H,W), step_disps (steps, B, H, W))``.
@@ -88,38 +111,59 @@ def ddim_sample(
     sigmas = jnp.asarray(coefs["sigma"])
     cs = jnp.asarray(coefs["c"])
     sqrt_alpha_nexts = jnp.asarray(coefs["sqrt_alpha_next"])
+    rng, k_init = jax.random.split(rng)
     step_keys = jax.random.split(rng, cfg.sampling_steps)
 
+    if cfg.init_mode == "baseline":
+        init_latent = baseline_latent
+    elif cfg.init_mode == "noise":
+        init_latent = jax.random.normal(
+            k_init, baseline_latent.shape, baseline_latent.dtype
+        )
+    else:
+        raise ValueError(cfg.init_mode)
+
+    if reencode_fn is None:
+        clip_max = (
+            cfg.reencode_clip_max
+            if cfg.reencode_clip_max is not None
+            else cfg.max_disp - 1
+        )
+
+        def reencode_fn(disp):
+            # clamp → bilinear ↓4 (align_corners=False) → /4 (acv_ddim.py:272-274)
+            disp_c = jnp.clip(disp, 0.0, clip_max)
+            return resize_bilinear(disp_c, (h4, w4), h_axis=1, w_axis=2) / 4.0
+
     def step(carry, xs):
-        latent, mask = carry
+        latent, mask, replace_src = carry
         (time, time_next), sigma, c, sqrt_alpha_next, key, step_idx = xs
         k_z, k_replace = jax.random.split(key)
         t_vec = jnp.full((b,), time, dtype=jnp.int32)
 
         disp, prob = denoise_fn(latent, t_vec)
 
-        # Re-encode the prediction as x_start (acv_ddim.py:272-292):
-        # clamp, bilinear ↓4 (align_corners=False), /4, codec, clamp.
-        disp_net = jnp.clip(disp, 0.0, cfg.max_disp - 1)
-        disp_q = resize_bilinear(disp_net, (h4, w4), h_axis=1, w_axis=2) / 4.0
-        x_start = encode_disparity_volume(disp_q, cfg.num_bins, cfg.scale)
+        x_start = encode_disparity_volume(reencode_fn(disp), cfg.num_bins, cfg.scale)
         x_start = jnp.clip(x_start, -cfg.scale, cfg.scale)
 
         pred_noise = sched_lib.predict_noise_from_start(sched, latent, t_vec, x_start)
 
         if cfg.renewal:
-            is_last = step_idx == cfg.sampling_steps - 1
-            u_tau = (
-                jnp.where(is_last, cfg.uncertainty_tau_last, cfg.uncertainty_tau)
-                if cfg.uncertainty_tau_last is not None
-                else cfg.uncertainty_tau
-            )
             dif = jnp.abs(disp - baseline_disp)
-            m1 = jnp.where(dif < cfg.consistency_tau, 1.0, 0.0)
-            unc = disparity_uncertainty(prob, disp, cfg.max_disp)
-            m2 = jnp.where(unc < u_tau, 1.0, 0.0)
-            m = resize_bilinear(m1 * m2, (h4, w4), h_axis=1, w_axis=2)
-            mask = jnp.clip(mask + m, 0.0, 1.0)
+            m = jnp.where(dif < cfg.consistency_tau, 1.0, 0.0)
+            if cfg.use_uncertainty:
+                unc = disparity_uncertainty(prob, disp, cfg.max_disp)
+                m = m * jnp.where(unc < cfg.uncertainty_tau, 1.0, 0.0)
+            m = resize_bilinear(m, (h4, w4), h_axis=1, w_axis=2)
+            new_mask = jnp.clip(mask + m, 0.0, 1.0)
+            if cfg.skip_mask_update_on_last:
+                is_last = step_idx == cfg.sampling_steps - 1
+                new_mask = jnp.where(is_last, mask, new_mask)
+            mask = new_mask
+
+        if cfg.hard_clamp_tau is not None:
+            near = jnp.abs(disp - baseline_disp) < cfg.hard_clamp_tau
+            disp = jnp.where(near, disp, baseline_disp)
 
         # DDIM update (acv_ddim.py:344-362) with host-precomputed float64
         # coefficients (see ddim_step_coefficients), guarded for the final
@@ -129,21 +173,26 @@ def ddim_sample(
 
         if cfg.replace_mode == "uniform":
             replacement = jax.random.uniform(k_replace, latent.shape, latent.dtype)
-        elif cfg.replace_mode == "qsample":
+        elif cfg.replace_mode in ("qsample", "qsample_compound"):
             eps = jax.random.normal(k_replace, latent.shape, latent.dtype)
-            replacement = sched_lib.q_sample(sched, baseline_latent, t_vec, eps)
+            replacement = sched_lib.q_sample(sched, replace_src, t_vec, eps)
+            if cfg.replace_mode == "qsample_compound":
+                # KITTI12 reassigns its replacement source each step
+                # (pwcnet_ddim.py:591: asd = self.q_sample(asd, t)); guard the
+                # final step, which never reaches the reassignment.
+                replace_src = jnp.where(time_next < 0, replace_src, replacement)
         else:
             raise ValueError(cfg.replace_mode)
         if cfg.renewal:
             updated = jnp.where(mask[:, None] == 0, replacement, updated)
 
         new_latent = jnp.where(time_next < 0, x_start, updated)
-        return (new_latent, mask), disp
+        return (new_latent, mask, replace_src), disp
 
     init_mask = jnp.zeros((b, h4, w4), dtype=baseline_latent.dtype)
-    (_, _), step_disps = jax.lax.scan(
+    (_, _, _), step_disps = jax.lax.scan(
         step,
-        (baseline_latent, init_mask),
+        (init_latent, init_mask, baseline_latent),
         (pairs, sigmas, cs, sqrt_alpha_nexts, step_keys,
          jnp.arange(cfg.sampling_steps)),
     )
@@ -157,3 +206,31 @@ def ddim_sample(
         final = jnp.einsum("s...,s->...", stacked, jnp.asarray(w, stacked.dtype))
         return final, step_disps
     return step_disps[-1], step_disps
+
+
+# Reference presets (buffers cited in DDIMConfig field comments).
+SCENEFLOW_DDIM = DDIMConfig()  # acv_ddim.py: 5 steps, uniform replace
+
+KITTI12_DDIM = DDIMConfig(
+    sampling_steps=3,
+    init_mode="noise",
+    consistency_tau=1.0,
+    uncertainty_tau=1.0,
+    skip_mask_update_on_last=True,
+    replace_mode="qsample_compound",
+    ensemble_weights=(0.9, 0.0, 0.0, 0.1),
+)
+
+KITTI15_DDIM = DDIMConfig(
+    sampling_steps=2,
+    init_mode="noise",
+    consistency_tau=5.0,
+    use_uncertainty=False,
+    hard_clamp_tau=3.0,
+    replace_mode="qsample",
+    ensemble_weights=(0.6, 0.1, 0.3),
+    # The reference clips its re-encode input to 47 full-res pixels
+    # (igev_stereo_ddim.py:268) because its eval loop tracks a RESIDUAL
+    # disparity (coords0 = init_disp quirk); our loop is absolute, so the
+    # default clamp→↓4→/4 re-encode applies.
+)

@@ -93,3 +93,150 @@ def acv_ddim_inference(
     )
     final = sample(ddim_vars, ac_volume, baseline_disp, baseline_latent, rng)
     return final, baseline_disp
+
+
+@functools.cache
+def _pcw_stages(baseline_model, ddim_model, cfg: DDIMConfig):
+    from diffuvolume_tpu.models.pcw import PCWNet
+
+    sched = make_schedule(1000)
+
+    @jax.jit
+    def prep(baseline_vars, ddim_vars, left, right):
+        h4, w4 = left.shape[1] // 4, left.shape[2] // 4
+        baseline_disp = baseline_model.apply(
+            baseline_vars, left, right, train=False
+        )[0][0]
+        disp_q = (
+            resize_bilinear(
+                jnp.clip(baseline_disp, 0.0, cfg.max_disp - 1), (h4, w4), 1, 2
+            )
+            / 4.0
+        )
+        baseline_latent = encode_disparity_volume(disp_q, cfg.num_bins, cfg.scale)
+        combine, _, fl, fr = ddim_model.apply(
+            ddim_vars, left, right, train=False, method=PCWNet.build_cost_volume
+        )
+        return baseline_disp, baseline_latent, combine, fl, fr
+
+    @jax.jit
+    def sample(ddim_vars, combine, fl, fr, baseline_disp, baseline_latent, rng):
+        h, w = baseline_disp.shape[1], baseline_disp.shape[2]
+
+        def denoise_fn(latent, t):
+            return ddim_model.apply(
+                ddim_vars, combine, fl, fr, latent, t, (h, w),
+                method=PCWNet.denoise,
+            )
+
+        final, _ = ddim_sample(
+            sched, cfg, denoise_fn, baseline_disp, baseline_latent, rng
+        )
+        return final
+
+    return prep, sample
+
+
+def pcw_ddim_inference(
+    baseline_model,
+    ddim_model,
+    baseline_vars,
+    ddim_vars,
+    left: jax.Array,
+    right: jax.Array,
+    rng: jax.Array,
+    cfg: DDIMConfig | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Two-pass DiffuVolume inference for the PCWNet backbone.
+
+    Reference contract: KITTI12/test.py:86-92 — frozen PCWNet ('gwcnet-gc')
+    pass, then PWCNet_ddim DDIM-3 with the KITTI12 sampler variant.
+    """
+    from diffuvolume_tpu.diffusion.ddim import KITTI12_DDIM
+
+    cfg = KITTI12_DDIM if cfg is None else cfg
+    prep, sample = _pcw_stages(baseline_model, ddim_model, cfg)
+    baseline_disp, baseline_latent, combine, fl, fr = prep(
+        baseline_vars, ddim_vars, left, right
+    )
+    final = sample(
+        ddim_vars, combine, fl, fr, baseline_disp, baseline_latent, rng
+    )
+    return final, baseline_disp
+
+
+@functools.cache
+def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int):
+    from diffuvolume_tpu.models.igev.model import IGEVStereo, igev_forward
+
+    sched = make_schedule(1000)
+
+    @jax.jit
+    def baseline_pass(baseline_vars, left, right):
+        return igev_forward(
+            baseline_model, baseline_vars, left, right, iters=iters,
+            test_mode=True,
+        )
+
+    @jax.jit
+    def sample(ddim_vars, left, right, baseline_disp, rng):
+        from diffuvolume_tpu.models.igev.model import igev_encode, igev_rollout
+
+        h4, w4 = left.shape[1] // 4, left.shape[2] // 4
+        disp_q = (
+            resize_bilinear(
+                jnp.clip(baseline_disp, 0.0, cfg.max_disp - 1), (h4, w4), 1, 2
+            )
+            / 4.0
+        )
+        baseline_latent = encode_disparity_volume(disp_q, cfg.num_bins, cfg.scale)
+
+        # Encode ONCE; each DDIM step re-runs only the GRU rollout with the
+        # new latent (the reference re-uses its precomputed geo_fn the same
+        # way, igev_stereo_ddim.py:401-427).
+        enc, pyramid = igev_encode(ddim_model, ddim_vars, left, right, train=False)
+
+        def denoise_fn(latent, t):
+            disp_ups = igev_rollout(
+                ddim_model, ddim_vars, enc, pyramid, iters, noisy=latent, t=t
+            )
+            disp = disp_ups[-1]
+            dummy_prob = jnp.zeros(
+                (disp.shape[0], cfg.max_disp, disp.shape[1], disp.shape[2]),
+                disp.dtype,
+            )
+            return disp, dummy_prob
+
+        final, _ = ddim_sample(
+            sched, cfg, denoise_fn, baseline_disp, baseline_latent, rng
+        )
+        return final
+
+    return baseline_pass, sample
+
+
+def igev_ddim_inference(
+    baseline_model,
+    ddim_model,
+    baseline_vars,
+    ddim_vars,
+    left: jax.Array,
+    right: jax.Array,
+    rng: jax.Array,
+    cfg: DDIMConfig | None = None,
+    iters: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """Two-pass DiffuVolume inference for the IGEV backbone.
+
+    Reference contract: KITTI15/evaluate_stereo.py:88-99 — frozen IGEVStereo
+    (32 iters) pass, then IGEVStereo_ddim DDIM-2 with the KITTI15 sampler
+    variant (no uncertainty term, hard clamp to baseline, fresh q_sample
+    replacement).  Inputs are RAW [0,255] images.
+    """
+    from diffuvolume_tpu.diffusion.ddim import KITTI15_DDIM
+
+    cfg = KITTI15_DDIM if cfg is None else cfg
+    baseline_pass, sample = _igev_stages(baseline_model, ddim_model, cfg, iters)
+    baseline_disp = baseline_pass(baseline_vars, left, right)
+    final = sample(ddim_vars, left, right, baseline_disp, rng)
+    return final, baseline_disp

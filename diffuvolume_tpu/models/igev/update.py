@@ -1,0 +1,129 @@
+"""IGEV ConvGRU multi-level update block (KITTI15/core/update.py:6-142)."""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from diffuvolume_tpu.ops.regression import resize_bilinear
+
+
+def _conv(f, k=3, name=None, dtype=jnp.float32):
+    if isinstance(k, int):
+        k = (k, k)
+    pad = [(ki // 2, ki // 2) for ki in k]
+    return nn.Conv(f, k, padding=pad, use_bias=True, dtype=dtype, name=name)
+
+
+def pool2x(x: jax.Array) -> jax.Array:
+    """avg_pool2d(3, stride 2, pad 1) with count_include_pad=True (update.py:96)."""
+    return nn.avg_pool(x, (3, 3), (2, 2), [(1, 1), (1, 1)], count_include_pad=True)
+
+
+def interp_to(x: jax.Array, ref: jax.Array) -> jax.Array:
+    """Bilinear align_corners=True resize to ref's spatial dims (update.py:102-104)."""
+    return resize_bilinear(x, (ref.shape[1], ref.shape[2]), 1, 2, align_corners=True)
+
+
+class ConvGRU(nn.Module):
+    """Gated conv recurrence with context biases (update.py:26-42)."""
+
+    hidden_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, cz, cr, cq, *x_list):
+        x = jnp.concatenate(x_list, axis=-1)
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(_conv(self.hidden_dim, 3, "convz", self.dtype)(hx) + cz)
+        r = jax.nn.sigmoid(_conv(self.hidden_dim, 3, "convr", self.dtype)(hx) + cr)
+        q = jnp.tanh(
+            _conv(self.hidden_dim, 3, "convq", self.dtype)(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+            + cq
+        )
+        return (1 - z) * h + z * q
+
+
+class DispHead(nn.Module):
+    """Δdisparity head (update.py:16-24)."""
+
+    hidden_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = jax.nn.relu(_conv(self.hidden_dim, 3, "conv1", self.dtype)(x))
+        return _conv(1, 3, "conv2", self.dtype)(y)
+
+
+class BasicMotionEncoder(nn.Module):
+    """corr+disp → 128-ch motion feature (update.py:75-93)."""
+
+    corr_planes: int  # corr_levels * (2*radius+1) * (8+1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, disp, corr):
+        cor = jax.nn.relu(_conv(64, 1, "convc1", self.dtype)(corr))
+        cor = jax.nn.relu(_conv(64, 3, "convc2", self.dtype)(cor))
+        dsp = jax.nn.relu(_conv(64, 7, "convd1", self.dtype)(disp))
+        dsp = jax.nn.relu(_conv(64, 3, "convd2", self.dtype)(dsp))
+        out = jax.nn.relu(
+            _conv(127, 3, "conv", self.dtype)(jnp.concatenate([cor, dsp], axis=-1))
+        )
+        return jnp.concatenate([out, disp], axis=-1)
+
+
+class BasicMultiUpdateBlock(nn.Module):
+    """3-level GRU cascade with cross-scale pooling/interp (update.py:106-142).
+
+    ``net`` is [net04, net08, net16] hidden states (channels-last);
+    ``inp`` is [(cz, cr, cq)] per level.
+    """
+
+    hidden_dims: Sequence[int] = (128, 128, 128)  # [dim16, dim08, dim04]
+    n_gru_layers: int = 3
+    corr_levels: int = 2
+    corr_radius: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr=None, disp=None,
+                 iter04=True, iter08=True, iter16=True, update=True):
+        dt = self.dtype
+        hd = self.hidden_dims
+        net = list(net)
+        if iter16:
+            net[2] = ConvGRU(hd[0], dt, name="gru16")(
+                net[2], *inp[2], pool2x(net[1])
+            )
+        if iter08:
+            if self.n_gru_layers > 2:
+                net[1] = ConvGRU(hd[1], dt, name="gru08")(
+                    net[1], *inp[1], pool2x(net[0]), interp_to(net[2], net[1])
+                )
+            else:
+                net[1] = ConvGRU(hd[1], dt, name="gru08")(
+                    net[1], *inp[1], pool2x(net[0])
+                )
+        if iter04:
+            corr_planes = self.corr_levels * (2 * self.corr_radius + 1) * 9
+            motion = BasicMotionEncoder(corr_planes, dt, name="encoder")(disp, corr)
+            if self.n_gru_layers > 1:
+                net[0] = ConvGRU(hd[2], dt, name="gru04")(
+                    net[0], *inp[0], motion, interp_to(net[1], net[0])
+                )
+            else:
+                net[0] = ConvGRU(hd[2], dt, name="gru04")(net[0], *inp[0], motion)
+
+        if not update:
+            return net
+
+        delta_disp = DispHead(256, dt, name="disp_head")(net[0])
+        mask_feat_4 = jax.nn.relu(_conv(32, 3, "mask_feat_4", dt)(net[0]))
+        return net, mask_feat_4, delta_disp

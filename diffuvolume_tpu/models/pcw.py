@@ -1,0 +1,363 @@
+"""PCWNet backbone (+ DiffuVolume diffusion variant) in flax.linen.
+
+TPU-native re-design of the reference PWCNet_ddim / PWCNet pair
+(KITTI12/models/pwcnet_ddim.py:12-758, KITTI12/models/pwcnet.py:310-515;
+named "PWCNet" in code, PCWNet in the paper): Mish activations, a deeper
+pyramid to 1/32 with per-scale group-wise volumes, a multi-scale
+``hourglassup`` combine, five classifier heads, and a full-resolution
+warp-correlation refinement network.  Same uniform interface as the ACV
+backbone: ``build_cost_volume`` → ``denoise`` → ``__call__``.
+
+All volumes are ``(B, D, H, W, C)`` channels-last; trilinear upsampling uses
+align_corners=True throughout (pwcnet_ddim.py:480).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from diffuvolume_tpu.models.layers import (
+    BasicBlock as _BasicBlockReLU,
+    ConvBN,
+    ConvTransposeBN,
+    DynamicHead,
+    mish,
+    torch_conv_init,
+)
+from diffuvolume_tpu.ops.cost_volume import (
+    build_concat_volume,
+    build_gwc_volume,
+    build_signed_correlation_volume,
+)
+from diffuvolume_tpu.ops.regression import (
+    resize_bilinear,
+    upsample_cost_and_regress,
+)
+from diffuvolume_tpu.ops.sampling import warp_right_to_left
+
+
+class BasicBlockMish(nn.Module):
+    """KITTI12 residual block — Mish after conv1 (KITTI12/models/submodule.py:192-215)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = self.dilation if self.dilation > 1 else 1
+        out = ConvBN(self.features, 3, self.stride, pad, self.dilation,
+                     act="mish", dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBN(self.features, 3, 1, pad, self.dilation,
+                     dtype=self.dtype, name="conv2")(out, train)
+        if self.downsample:
+            x = ConvBN(self.features, 1, self.stride, 0, dtype=self.dtype,
+                       name="downsample")(x, train)
+        return out + x
+
+
+class PCWFeatureExtractor(nn.Module):
+    """Deep pyramid to 1/32 with per-scale gw projections.
+
+    Reference: pwcnet_ddim.py:12-128.  Returns dict with gw1..gw4 (320 ch at
+    1/4, 1/8, 1/16, 1/32), concat features (12 ch each), and the 32-ch
+    refinement feature.
+    """
+
+    concat_channels: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> dict[str, jax.Array]:
+        dt = self.dtype
+
+        def mish_head(cin_name, mid, cout, kernel=3):
+            def apply(y):
+                y = ConvBN(mid, kernel, 1, 1 if kernel == 3 else 0, act="mish",
+                           dtype=dt, name=f"{cin_name}_0")(y, train)
+                return nn.Conv(cout, (1, 1), use_bias=False, dtype=dt,
+                               kernel_init=torch_conv_init((1, 1)),
+                               name=f"{cin_name}_1")(y)
+            return apply
+
+        for i in range(3):
+            x = ConvBN(32, 3, 2 if i == 0 else 1, 1, act="mish", dtype=dt,
+                       name=f"firstconv{i}")(x, train)
+        for i in range(3):
+            x = BasicBlockMish(32, dtype=dt, name=f"layer1_{i}")(x, train)
+        l2 = x
+        for i in range(16):
+            l2 = BasicBlockMish(64, stride=2 if i == 0 else 1, downsample=(i == 0),
+                                dtype=dt, name=f"layer2_{i}")(l2, train)
+        l3 = l2
+        for i in range(3):
+            l3 = BasicBlockMish(128, downsample=(i == 0), dtype=dt,
+                                name=f"layer3_{i}")(l3, train)
+        l4 = l3
+        for i in range(3):
+            l4 = BasicBlockMish(128, dilation=2, dtype=dt, name=f"layer4_{i}")(l4, train)
+        l5 = l4
+        for i in range(3):
+            l5 = BasicBlockMish(192, stride=2 if i == 0 else 1, downsample=(i == 0),
+                                dtype=dt, name=f"layer5_{i}")(l5, train)
+        l6 = l5
+        for i in range(3):
+            l6 = BasicBlockMish(256, stride=2 if i == 0 else 1, downsample=(i == 0),
+                                dtype=dt, name=f"layer7_{i}")(l6, train)
+        l7 = l6
+        for i in range(3):
+            l7 = BasicBlockMish(512, stride=2 if i == 0 else 1, downsample=(i == 0),
+                                dtype=dt, name=f"layer9_{i}")(l7, train)
+
+        combine = jnp.concatenate([l2, l3, l4], axis=-1)  # 320 ch @ 1/4
+        gw1 = mish_head("layer11", 320, 320)(combine)
+        gw2 = mish_head("gw2", 320, 320)(l5)
+        gw3 = mish_head("gw3", 320, 320)(l6)
+        gw4 = mish_head("gw4", 320, 320)(l7)
+
+        refine = ConvBN(128, 3, 1, 1, act="mish", dtype=dt,
+                        name="layer_refine_0")(combine, train)
+        refine = ConvBN(32, 1, 1, 0, act="mish", dtype=dt,
+                        name="layer_refine_1")(refine, train)
+
+        cc = self.concat_channels
+        return {
+            "gw1": gw1, "gw2": gw2, "gw3": gw3, "gw4": gw4,
+            "concat1": mish_head("lastconv", 128, cc)(combine),
+            "concat2": mish_head("concat2", 128, cc)(l5),
+            "concat3": mish_head("concat3", 128, cc)(l6),
+            "concat4": mish_head("concat4", 128, cc)(l7),
+            "refine": refine,
+        }
+
+
+class HourglassUp(nn.Module):
+    """Multi-scale combining hourglass (pwcnet_ddim.py:131-205): fuses the
+    1/8, 1/16, 1/32 volumes into the 1/4 volume with strided 3D convs +
+    concat combines, deconvs back with skips, FMish activations."""
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, feature4, feature5, feature6, train: bool = False):
+        ch, dt = self.channels, self.dtype
+        conv1 = nn.Conv(ch * 2, (3,) * 3, (2,) * 3, [(1, 1)] * 3, use_bias=False,
+                        kernel_init=torch_conv_init((3,) * 3), dtype=dt,
+                        name="conv1")(x)
+        conv1 = ConvBN(ch * 2, 3, 1, 1, act="mish", dtype=dt, name="combine1")(
+            jnp.concatenate([conv1, feature4], axis=-1), train)
+        conv2 = ConvBN(ch * 2, 3, 1, 1, act="mish", dtype=dt, name="conv2")(conv1, train)
+
+        conv3 = nn.Conv(ch * 4, (3,) * 3, (2,) * 3, [(1, 1)] * 3, use_bias=False,
+                        kernel_init=torch_conv_init((3,) * 3), dtype=dt,
+                        name="conv3")(conv2)
+        conv3 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="combine2")(
+            jnp.concatenate([conv3, feature5], axis=-1), train)
+        conv4 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="conv4")(conv3, train)
+
+        conv5 = nn.Conv(ch * 4, (3,) * 3, (2,) * 3, [(1, 1)] * 3, use_bias=False,
+                        kernel_init=torch_conv_init((3,) * 3), dtype=dt,
+                        name="conv5")(conv4)
+        conv5 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="combine3")(
+            jnp.concatenate([conv5, feature6], axis=-1), train)
+        conv6 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="conv6")(conv5, train)
+
+        c7 = ConvTransposeBN(ch * 4, 3, 2, 1, 1, dtype=dt, name="conv7")(conv6, train)
+        r3 = ConvBN(ch * 4, 1, 1, 0, dtype=dt, name="redir3")(conv4, train)
+        conv7 = mish(c7 + r3)
+        c8 = ConvTransposeBN(ch * 2, 3, 2, 1, 1, dtype=dt, name="conv8")(conv7, train)
+        r2 = ConvBN(ch * 2, 1, 1, 0, dtype=dt, name="redir2")(conv2, train)
+        conv8 = mish(c8 + r2)
+        c9 = ConvTransposeBN(ch, 3, 2, 1, 1, dtype=dt, name="conv9")(conv8, train)
+        r1 = ConvBN(ch, 1, 1, 0, dtype=dt, name="redir1")(x, train)
+        return mish(c9 + r1)
+
+
+class HourglassMish(nn.Module):
+    """Plain Mish hourglass without attention (pwcnet_ddim.py:208-248)."""
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ch, dt = self.channels, self.dtype
+        c1 = ConvBN(ch * 2, 3, 2, 1, act="mish", dtype=dt, name="conv1")(x, train)
+        c2 = ConvBN(ch * 2, 3, 1, 1, act="mish", dtype=dt, name="conv2")(c1, train)
+        c3 = ConvBN(ch * 4, 3, 2, 1, act="mish", dtype=dt, name="conv3")(c2, train)
+        c4 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="conv4")(c3, train)
+        c5 = ConvTransposeBN(ch * 2, 3, 2, 1, 1, dtype=dt, name="conv5")(c4, train)
+        r2 = ConvBN(ch * 2, 1, 1, 0, dtype=dt, name="redir2")(c2, train)
+        c5 = mish(c5 + r2)
+        c6 = ConvTransposeBN(ch, 3, 2, 1, 1, dtype=dt, name="conv6")(c5, train)
+        r1 = ConvBN(ch, 1, 1, 0, dtype=dt, name="redir1")(x, train)
+        return mish(c6 + r1)
+
+
+class RefineNetV3(nn.Module):
+    """Full-res dilated refinement net → residual disparity
+    (pwcnet_ddim.py:251-306)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, disp: jax.Array, train: bool = False) -> jax.Array:
+        dt = self.dtype
+        y = ConvBN(128, 3, 1, 1, act="mish", dtype=dt, name="conv1")(x, train)
+        y = ConvBN(128, 3, 1, 1, act="mish", dtype=dt, name="conv2")(y, train)
+        y = ConvBN(128, 3, 1, 2, 2, act="mish", dtype=dt, name="conv3")(y, train)
+        y = ConvBN(128, 3, 1, 4, 4, act="mish", dtype=dt, name="conv4")(y, train)
+        y = BasicBlockMish(96, dilation=8, downsample=True, dtype=dt, name="conv5")(y, train)
+        y = BasicBlockMish(64, dilation=16, downsample=True, dtype=dt, name="conv6")(y, train)
+        y = BasicBlockMish(32, dilation=1, downsample=True, dtype=dt, name="conv7")(y, train)
+        y = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                    kernel_init=torch_conv_init((3, 3)), dtype=dt, name="conv8")(y)
+        return disp + y[..., 0]
+
+
+class PCWNet(nn.Module):
+    """PCWNet with multi-scale volume fusion, optionally diffusion-wrapped."""
+
+    max_disp: int = 192
+    diffusion: bool = True
+    use_concat_volume: bool = True
+    scale: float = 1.0
+    num_groups: int = 40
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        dt = self.dtype
+        cc = 12 if self.use_concat_volume else 0
+        self.concat_channels = cc
+        self.feature_extraction = PCWFeatureExtractor(concat_channels=max(cc, 1), dtype=dt)
+        self.dres0_0 = ConvBN(32, 3, 1, 1, act="mish", dtype=dt)
+        self.dres0_1 = ConvBN(32, 3, 1, 1, act="mish", dtype=dt)
+        self.dres1_0 = ConvBN(32, 3, 1, 1, act="mish", dtype=dt)
+        self.dres1_1 = ConvBN(32, 3, 1, 1, dtype=dt)
+        self.combine1 = HourglassUp(32, dtype=dt)
+        if self.diffusion:
+            self.time_embedding = DynamicHead(d_model=self.max_disp // 4, dtype=dt)
+        self.dres2 = HourglassMish(32, dtype=dt)
+        self.dres3 = HourglassMish(32, dtype=dt)
+        self.dres4 = HourglassMish(32, dtype=dt)
+
+        def classif():
+            return (
+                ConvBN(32, 3, 1, 1, act="mish", dtype=dt),
+                nn.Conv(1, (3,) * 3, padding=[(1, 1)] * 3, use_bias=False,
+                        kernel_init=torch_conv_init((3,) * 3), dtype=dt),
+            )
+
+        self.classif0_0, self.classif0_1 = classif()
+        self.classif1_0, self.classif1_1 = classif()
+        self.classif2_0, self.classif2_1 = classif()
+        self.classif3_0, self.classif3_1 = classif()
+        self.classif4_0, self.classif4_1 = classif()
+        self.refinenet3 = RefineNetV3(dtype=dt)
+        self.dispupsample = ConvBN(32, 1, 1, 0, act="mish", dtype=dt)
+
+    # ---- volume construction (pwcnet_ddim.py:605-641) ----
+
+    def build_cost_volume(self, left, right, train: bool = False):
+        """Returns ``(combine_volume, cost0, features_left, features_right)``:
+        the multi-scale fused volume that the diffusion latent multiplies."""
+        fl = self.feature_extraction(left, train)
+        fr = self.feature_extraction(right, train)
+        md = self.max_disp
+
+        def vol(scale_key, concat_key, d):
+            gwc = build_gwc_volume(fl[scale_key], fr[scale_key], d, self.num_groups)
+            if self.use_concat_volume:
+                cat = build_concat_volume(fl[concat_key], fr[concat_key], d)
+                return jnp.concatenate([gwc, cat], axis=-1)
+            return gwc
+
+        v1 = vol("gw1", "concat1", md // 4)
+        v2 = vol("gw2", "concat2", md // 8)
+        v3 = vol("gw3", "concat3", md // 16)
+        v4 = vol("gw4", "concat4", md // 32)
+
+        cost0 = self.dres0_1(self.dres0_0(v1, train), train)
+        cost0 = self.dres1_1(self.dres1_0(cost0, train), train) + cost0
+        combine = self.combine1(cost0, v2, v3, v4, train)
+        return combine, cost0, fl, fr
+
+    # ---- heads ----
+
+    def _head(self, conv_a, conv_b, x, out_hw, train):
+        cost = conv_b(conv_a(x, train))[..., 0]
+        return upsample_cost_and_regress(cost, self.max_disp, out_hw, align_corners=True)
+
+    def refine(self, pred3, fl, fr, out_hw, train: bool = False):
+        """Full-res warp + signed-correlation refinement (pwcnet_ddim.py:486-502,
+        712-734)."""
+        rl = resize_bilinear(fl["refine"], out_hw, 1, 2, align_corners=True)
+        rr = resize_bilinear(fr["refine"], out_hw, 1, 2, align_corners=True)
+        rr_warp = warp_right_to_left(rr, pred3)
+        corr = build_signed_correlation_volume(rl, rr_warp, 24)  # (B, 49, H, W)
+        corr = jnp.moveaxis(corr, 1, -1)
+        pred3_feat = self.dispupsample(pred3[..., None], train)
+        combine = jnp.concatenate(
+            [rl - rr_warp, rl, pred3_feat, pred3[..., None], corr], axis=-1
+        )  # 32+32+32+1+49 = 146 ch
+        return self.refinenet3(combine, pred3, train)
+
+    # ---- diffusion-conditioned single pass (pwcnet_ddim.py:467-530) ----
+
+    def denoise(self, combine_volume, fl, fr, latent, t, out_hw, train: bool = False):
+        noise = self.time_embedding(latent, t)
+        noise = jnp.clip(noise, -self.scale, self.scale)
+        noise = (noise / self.scale + 1.0) / 2.0
+        vol = combine_volume * noise[..., None]
+        out1 = self.dres2(vol, train)
+        out2 = self.dres3(out1, train)
+        out3 = self.dres4(out2, train)
+        pred3, prob3 = self._head(self.classif3_0, self.classif3_1, out3, out_hw, train)
+        disp_finetune = self.refine(pred3, fl, fr, out_hw, train)
+        return disp_finetune, prob3
+
+    # ---- forwards (pwcnet_ddim.py:604-758) ----
+
+    def __call__(self, left, right, disp_gt_q=None, t=None, noise=None,
+                 train: bool = False):
+        out_hw = (left.shape[1], left.shape[2])
+        combine, cost0, fl, fr = self.build_cost_volume(left, right, train)
+
+        if self.diffusion and train:
+            from diffuvolume_tpu.diffusion import make_schedule, q_sample
+            from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
+
+            assert disp_gt_q is not None and t is not None and noise is not None
+            x_start = encode_disparity_volume(
+                disp_gt_q, num_bins=self.max_disp // 4, scale=self.scale
+            )
+            sched = make_schedule(1000)
+            noisy = q_sample(sched, x_start, t, noise)
+            noisy = self.time_embedding(noisy, t)
+            noisy = jnp.clip(noisy, -self.scale, self.scale)
+            noisy = (noisy / self.scale + 1.0) / 2.0
+            combine_in = combine * noisy[..., None]
+        else:
+            combine_in = combine
+
+        out1 = self.dres2(combine_in, train)
+        out2 = self.dres3(out1, train)
+        out3 = self.dres4(out2, train)
+        pred3, prob3 = self._head(self.classif3_0, self.classif3_1, out3, out_hw, train)
+        disp_finetune = self.refine(pred3, fl, fr, out_hw, train)
+
+        if not train:
+            return [disp_finetune], [prob3]
+
+        pred0, _ = self._head(self.classif0_0, self.classif0_1, cost0, out_hw, train)
+        comb_pred, _ = self._head(self.classif4_0, self.classif4_1, combine, out_hw, train)
+        pred1, _ = self._head(self.classif1_0, self.classif1_1, out1, out_hw, train)
+        pred2, _ = self._head(self.classif2_0, self.classif2_1, out2, out_hw, train)
+        return [pred0, comb_pred, pred1, pred2, pred3, disp_finetune]

@@ -57,6 +57,8 @@ def build_gwc_volume(
     for d in range(max_disp):
         if d == 0:
             corr = groupwise_correlation(left, right, num_groups)
+        elif d >= w:  # whole scanline out of range → zero plane
+            corr = jnp.zeros((b, h, w, num_groups), left.dtype)
         else:
             corr = groupwise_correlation(left[:, :, d:, :], right[:, :, :-d, :], num_groups)
             corr = jnp.pad(corr, ((0, 0), (0, 0), (d, 0), (0, 0)))
@@ -84,6 +86,8 @@ def build_concat_volume(left: jax.Array, right: jax.Array, max_disp: int) -> jax
     for d in range(max_disp):
         if d == 0:
             r = right
+        elif d >= w:
+            r = jnp.zeros_like(right)
         else:
             r = jnp.pad(right[:, :, :-d, :], ((0, 0), (0, 0), (d, 0), (0, 0)))
         right_slices.append(r)
@@ -109,9 +113,12 @@ def build_signed_correlation_volume(
     Returns:
       ``(B, 2*max_offset+1, H, W)``.
     """
+    b, h, w, _ = left.shape
     slices = []
     for d in range(-max_offset, max_offset + 1):
-        if d == 0:
+        if abs(d) >= w:
+            corr = jnp.zeros((b, h, w), left.dtype)
+        elif d == 0:
             corr = jnp.mean(left * right, axis=-1)
         elif d > 0:
             corr = jnp.mean(left[:, :, d:, :] * right[:, :, :-d, :], axis=-1)

@@ -109,3 +109,70 @@ def make_train_step(
         return new_state, {"loss": loss, "epe": epe}
 
     return step_fn
+
+
+def make_igev_train_step(
+    model, optimizer: optax.GradientTransformation, iters: int = 22,
+    grad_clip: float = 1.0,
+) -> Callable:
+    """KITTI15 recipe train step (train_stereo.py:150-174): diffusion-
+    conditioned GRU rollout, sequence loss over iterates, grad-norm clip.
+
+    Batch: ``left``/``right`` RAW [0,255] ``(B,H,W,3)``, ``disp_gt`` ``(B,H,W)``,
+    ``valid`` ``(B,H,W)``.  Note ``optimizer`` should already include the clip
+    (or pass grad_clip here and use plain adamw).
+    """
+    from diffuvolume_tpu.diffusion import make_schedule, q_sample
+    from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
+    from diffuvolume_tpu.models.igev.model import igev_forward
+    from diffuvolume_tpu.train.loss import sequence_loss
+
+    sched = make_schedule(1000)
+    num_bins = model.max_disp // 4
+
+    def step_fn(state: TrainState, batch, rng):
+        left, right = batch["left"], batch["right"]
+        disp_gt = batch["disp_gt"]
+        valid = batch.get("valid", (disp_gt > 0).astype(jnp.float32))
+        b, h, w = disp_gt.shape
+
+        # GT conditioning at 1/4 in bin units (train_stereo.py:154-158:
+        # flow_4 = -interp(flow)/4 sign-flipped; disparities positive here).
+        disp_q = resize_bilinear(
+            jnp.clip(disp_gt, 0.0, 4.0 * (num_bins - 1)), (h // 4, w // 4), 1, 2
+        ) / 4.0
+        rng_t, rng_noise = jax.random.split(rng)
+        t = jnp.broadcast_to(
+            jax.random.randint(rng_t, (1,), 0, 1000), (b,)
+        ).astype(jnp.int32)
+        eps = jax.random.normal(rng_noise, (b, num_bins, h // 4, w // 4))
+        x_start = encode_disparity_volume(disp_q, num_bins, model.scale)
+        noisy = q_sample(sched, x_start, t, eps)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            init_up, disp_ups, new_bs = igev_forward(
+                model, variables, left, right, iters=iters,
+                noisy=noisy, t=t, train=True,
+            )
+            loss = sequence_loss(
+                disp_ups, init_up, disp_gt, valid, max_disp=model.max_disp
+            )
+            return loss, (new_bs, disp_ups[-1])
+
+        (loss, (new_bs, pred)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs if new_bs is not None else state.batch_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        mask = (valid >= 0.5) & (disp_gt < model.max_disp)
+        epe = jnp.sum(jnp.abs(pred - disp_gt) * mask) / jnp.maximum(mask.sum(), 1)
+        return new_state, {"loss": loss, "epe": epe}
+
+    return step_fn

@@ -1,0 +1,123 @@
+"""IGEV-Stereo backbone smoke tests (tiny shapes, CPU).
+
+H, W must be multiples of 32 (1/32 pyramid).  max_disp=64 keeps the GEV small
+(D4=16; hourglass bottleneck 2).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffuvolume_tpu.models.igev.geometry import (
+    all_pairs_correlation,
+    build_geo_pyramid,
+    geo_lookup,
+)
+from diffuvolume_tpu.models.igev.model import IGEVStereo, igev_forward
+
+MAX_DISP = 64
+H, W = 64, 96
+B = 1
+
+
+def test_all_pairs_correlation_matches_reference_einsum():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    f1 = rng.standard_normal((1, 3, 5, 8)).astype(np.float32)  # (B,H,W,C)
+    f2 = rng.standard_normal((1, 3, 5, 8)).astype(np.float32)
+    ours = np.asarray(all_pairs_correlation(jnp.asarray(f1), jnp.asarray(f2)))
+    # reference: einsum('aijk,aijh->ajkh') on (B, C, H, W) (geometry_ddim.py:78)
+    t1 = torch.from_numpy(f1.transpose(0, 3, 1, 2))
+    t2 = torch.from_numpy(f2.transpose(0, 3, 1, 2))
+    ref = torch.einsum("aijk,aijh->ajkh", t1, t2).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_geo_lookup_shapes_and_window():
+    rng = np.random.default_rng(1)
+    b, h, w, d, c = 1, 4, 8, 8, 8
+    ml = jnp.asarray(rng.standard_normal((b, h, w, 16)).astype(np.float32))
+    mr = jnp.asarray(rng.standard_normal((b, h, w, 16)).astype(np.float32))
+    gev = jnp.asarray(rng.standard_normal((b, d, h, w, c)).astype(np.float32))
+    pyr = build_geo_pyramid(ml, mr, gev, num_levels=2)
+    assert pyr.geo_levels[0].shape == (b, h, w, d, c)
+    assert pyr.geo_levels[1].shape == (b, h, w, d // 2, c)
+    assert pyr.corr_levels[0].shape == (b, h, w, w, 1)
+
+    disp = jnp.full((b, h, w), 2.0)
+    coords = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, h, w))
+    out = geo_lookup(pyr, disp, coords, noisy=None, radius=4)
+    assert out.shape == (b, h, w, 2 * (c + 1) * 9)  # 162 channels
+    assert np.isfinite(np.asarray(out)).all()
+
+    # With noise: all-ones noise must equal the noise-free lookup.
+    ones = jnp.ones((b, d, h, w))
+    out2 = geo_lookup(pyr, disp, coords, noisy=ones, radius=4)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def igev_and_vars():
+    model = IGEVStereo(max_disp=MAX_DISP, diffusion=True)
+    left = jnp.zeros((B, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), left, left, train=True)
+    return model, variables
+
+
+def test_encode_shapes(igev_and_vars):
+    model, variables = igev_and_vars
+    key = jax.random.PRNGKey(1)
+    left = jax.random.uniform(key, (B, H, W, 3), maxval=255.0)
+    right = jnp.roll(left, -2, axis=2)
+    enc = model.apply(variables, left, right, False, method=IGEVStereo.encode)
+    assert enc["init_disp"].shape == (B, H // 4, W // 4)
+    assert enc["gev"].shape == (B, MAX_DISP // 4, H // 4, W // 4, 8)
+    assert enc["match_l"].shape == (B, H // 4, W // 4, 96)
+    assert len(enc["net_list"]) == 3
+    assert np.isfinite(np.asarray(enc["init_disp"])).all()
+
+
+def test_igev_eval_forward(igev_and_vars):
+    model, variables = igev_and_vars
+    key = jax.random.PRNGKey(2)
+    left = jax.random.uniform(key, (B, H, W, 3), maxval=255.0)
+    right = jnp.roll(left, -2, axis=2)
+    disp = igev_forward(model, variables, left, right, iters=2, test_mode=True)
+    assert disp.shape == (B, H, W)
+    assert np.isfinite(np.asarray(disp)).all()
+
+
+def test_igev_train_forward_with_diffusion(igev_and_vars):
+    model, variables = igev_and_vars
+    key = jax.random.PRNGKey(3)
+    left = jax.random.uniform(key, (B, H, W, 3), maxval=255.0)
+    right = jnp.roll(left, -2, axis=2)
+    noisy = jax.random.normal(key, (B, MAX_DISP // 4, H // 4, W // 4))
+    t = jnp.full((B,), 500, jnp.int32)
+    init_up, disp_ups, new_bs = igev_forward(
+        model, variables, left, right, iters=2, noisy=noisy, t=t, train=True
+    )
+    assert init_up.shape == (B, H, W)
+    assert disp_ups.shape == (2, B, H, W)
+    assert new_bs is not None
+    assert np.isfinite(np.asarray(disp_ups)).all()
+
+
+def test_igev_ddim_pipeline(igev_and_vars):
+    import dataclasses
+    from diffuvolume_tpu.diffusion import KITTI15_DDIM
+    from diffuvolume_tpu.eval.pipeline import igev_ddim_inference
+
+    model, variables = igev_and_vars
+    baseline = IGEVStereo(max_disp=MAX_DISP, diffusion=False)
+    left = jax.random.uniform(jax.random.PRNGKey(4), (B, H, W, 3), maxval=255.0)
+    right = jnp.roll(left, -2, axis=2)
+    bvars = baseline.init(jax.random.PRNGKey(5), left, left, train=True)
+    cfg = dataclasses.replace(KITTI15_DDIM, max_disp=MAX_DISP, num_bins=MAX_DISP // 4)
+    final, bd = igev_ddim_inference(
+        baseline, model, bvars, variables, left, right, jax.random.PRNGKey(6),
+        cfg=cfg, iters=2,
+    )
+    assert final.shape == (B, H, W)
+    assert np.isfinite(np.asarray(final)).all()
