@@ -8,6 +8,7 @@ reference GPU ⇒ 0.90 pairs/s baseline) — and prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -22,9 +23,13 @@ def main():
     from diffuvolume_tpu.eval.pipeline import acv_ddim_inference
     from diffuvolume_tpu.models.acv import ACVNet
 
+    # Production inference policy: bf16 conv path (MXU native), f32 heads /
+    # diffusion algebra.  Set DIFFU_BENCH_F32=1 for an all-f32 run.
+    dtype = jnp.float32 if os.environ.get("DIFFU_BENCH_F32") else jnp.bfloat16
+
     rng = jax.random.PRNGKey(0)
-    baseline_model = ACVNet(max_disp=192, diffusion=False)
-    ddim_model = ACVNet(max_disp=192, diffusion=True)
+    baseline_model = ACVNet(max_disp=192, diffusion=False, dtype=dtype)
+    ddim_model = ACVNet(max_disp=192, diffusion=True, dtype=dtype)
 
     # Init at a small spatial size (params are shape-independent), run at full.
     left_s = jnp.zeros((1, 64, 128, 3))

@@ -64,6 +64,74 @@ def occlusion_patch(right: np.ndarray, rng: np.random.Generator, p: float = 0.2)
     return out
 
 
+def _bilinear_resize_np(img: np.ndarray, fx: float, fy: float) -> np.ndarray:
+    """cv2-free bilinear resize (align_corners=False half-pixel sampling)."""
+    h, w = img.shape[:2]
+    h1, w1 = int(round(h * fy)), int(round(w * fx))
+    ys = np.clip((np.arange(h1) + 0.5) * (h / h1) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(w1) + 0.5) * (w / w1) - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    img = img[..., None] if img.ndim == 2 else img
+    out = (
+        img[y0][:, x0] * (1 - wy) * (1 - wx)
+        + img[y0][:, x1] * (1 - wy) * wx
+        + img[y1][:, x0] * wy * (1 - wx)
+        + img[y1][:, x1] * wy * wx
+    )
+    return out[..., 0] if out.shape[-1] == 1 else out
+
+
+def resize_sparse_disparity(
+    disp: np.ndarray, valid: np.ndarray, fx: float, fy: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Re-scatter valid sparse disparity points after scaling
+    (KITTI15/core/utils/augmentor.py:224-256)."""
+    h, w = disp.shape
+    ys, xs = np.nonzero(valid >= 1)
+    d0 = disp[ys, xs]
+    h1, w1 = int(round(h * fy)), int(round(w * fx))
+    xx = np.round(xs * fx).astype(np.int32)
+    yy = np.round(ys * fy).astype(np.int32)
+    d1 = d0 * fx
+    keep = (xx > 0) & (xx < w1) & (yy > 0) & (yy < h1)
+    out_d = np.zeros((h1, w1), np.float32)
+    out_v = np.zeros((h1, w1), np.float32)
+    out_d[yy[keep], xx[keep]] = d1[keep]
+    out_v[yy[keep], xx[keep]] = 1.0
+    return out_d, out_v
+
+
+def sparse_spatial_transform(
+    img1: np.ndarray, img2: np.ndarray, disp: np.ndarray, valid: np.ndarray,
+    crop_size: tuple[int, int], rng: np.random.Generator,
+    min_scale: float = -0.2, max_scale: float = 0.4,
+    spatial_aug_prob: float = 0.8,
+):
+    """RAFT-style sparse spatial augmentation (augmentor.py:258-305 without
+    flips, which the KITTI recipe disables): random 2^U(min,max) rescale with
+    sparse disparity re-scatter, then margin-jittered crop."""
+    ht, wd = img1.shape[:2]
+    min_s = max((crop_size[0] + 1) / ht, (crop_size[1] + 1) / wd)
+    scale = 2.0 ** rng.uniform(min_scale, max_scale)
+    s = max(scale, min_s)
+    if rng.uniform() < spatial_aug_prob or min_s > 1.0:
+        img1 = _bilinear_resize_np(img1, s, s)
+        img2 = _bilinear_resize_np(img2, s, s)
+        disp, valid = resize_sparse_disparity(disp, valid, s, s)
+    margin_y, margin_x = 20, 50
+    y0 = int(rng.integers(0, img1.shape[0] - crop_size[0] + margin_y))
+    x0 = int(rng.integers(-margin_x, img1.shape[1] - crop_size[1] + margin_x))
+    y0 = int(np.clip(y0, 0, img1.shape[0] - crop_size[0]))
+    x0 = int(np.clip(x0, 0, img1.shape[1] - crop_size[1]))
+    sl = np.s_[y0 : y0 + crop_size[0], x0 : x0 + crop_size[1]]
+    return img1[sl], img2[sl], disp[sl], valid[sl]
+
+
 def eraser_transform(
     right: np.ndarray, rng: np.random.Generator, p: float = 0.5, max_boxes: int = 2,
     bounds: tuple[int, int] = (50, 100),

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from diffuvolume_tpu.diffusion import schedule as sched_lib
 from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
-from diffuvolume_tpu.ops.regression import disparity_uncertainty, resize_bilinear
+from diffuvolume_tpu.ops.regression import resize_bilinear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,8 +88,10 @@ def ddim_sample(
     Args:
       sched: precomputed diffusion schedule.
       cfg: sampler configuration.
-      denoise_fn: ``(latent (B,D,H4,W4), t (B,)) -> (disp (B,H,W), prob (B,192,H,W))``
-        — one full aggregation pass of the backbone with noise injection.
+      denoise_fn: ``(latent (B,D,H4,W4), t (B,)) -> (disp (B,H,W), unc (B,H,W))``
+        — one full aggregation pass of the backbone with noise injection;
+        ``unc`` is the renewal uncertainty ``Σ|d-d̂|·p(d)`` (zeros when
+        ``use_uncertainty=False``).
       baseline_disp: ``(B, H, W)`` full-resolution prediction of the frozen
         baseline network (the conditioning / `used` input).
       baseline_latent: ``(B, D, H4, W4)`` encoded baseline volume in
@@ -141,7 +143,7 @@ def ddim_sample(
         k_z, k_replace = jax.random.split(key)
         t_vec = jnp.full((b,), time, dtype=jnp.int32)
 
-        disp, prob = denoise_fn(latent, t_vec)
+        disp, unc = denoise_fn(latent, t_vec)
 
         x_start = encode_disparity_volume(reencode_fn(disp), cfg.num_bins, cfg.scale)
         x_start = jnp.clip(x_start, -cfg.scale, cfg.scale)
@@ -152,7 +154,6 @@ def ddim_sample(
             dif = jnp.abs(disp - baseline_disp)
             m = jnp.where(dif < cfg.consistency_tau, 1.0, 0.0)
             if cfg.use_uncertainty:
-                unc = disparity_uncertainty(prob, disp, cfg.max_disp)
                 m = m * jnp.where(unc < cfg.uncertainty_tau, 1.0, 0.0)
             m = resize_bilinear(m, (h4, w4), h_axis=1, w_axis=2)
             new_mask = jnp.clip(mask + m, 0.0, 1.0)

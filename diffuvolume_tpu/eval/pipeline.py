@@ -201,11 +201,8 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int):
                 ddim_model, ddim_vars, enc, pyramid, iters, noisy=latent, t=t
             )
             disp = disp_ups[-1]
-            dummy_prob = jnp.zeros(
-                (disp.shape[0], cfg.max_disp, disp.shape[1], disp.shape[2]),
-                disp.dtype,
-            )
-            return disp, dummy_prob
+            # KITTI15 renewal has no uncertainty term (use_uncertainty=False).
+            return disp, jnp.zeros_like(disp)
 
         final, _ = ddim_sample(
             sched, cfg, denoise_fn, baseline_disp, baseline_latent, rng

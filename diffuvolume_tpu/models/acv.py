@@ -138,7 +138,9 @@ class ACVNet(nn.Module):
 
     def _head(self, conv_a, conv_b, x, out_hw, train):
         cost = conv_b(conv_a(x, train))[..., 0]  # (B, D, H4, W4)
-        return upsample_cost_and_regress(cost, self.max_disp, out_hw)
+        return upsample_cost_and_regress(
+            cost.astype(jnp.float32), self.max_disp, out_hw
+        )
 
     # ---- diffusion-conditioned single pass (acv_ddim.py:254-296) ----
 
@@ -152,14 +154,20 @@ class ACVNet(nn.Module):
     ) -> tuple[jax.Array, jax.Array]:
         """Inject the noisy latent into the volume, aggregate, regress.
 
-        Returns ``(disp (B,H,W), prob (B,192,H,W))``.
+        Returns ``(disp (B,H,W), uncertainty (B,H,W))`` via the fused Pallas
+        head (never materializes the 192×H×W probability volume).
         """
+        from diffuvolume_tpu.ops.pallas.fused_head import fused_upsample_softargmin
+
         noise = self.time_embedding(latent, t)
         noise = jnp.clip(noise, -self.scale, self.scale)
         noise = (noise / self.scale + 1.0) / 2.0
-        vol = ac_volume * noise[..., None]
+        vol = ac_volume * noise[..., None].astype(ac_volume.dtype)
         _, _, out2 = self._aggregate(vol, train)
-        return self._head(self.classif2_0, self.classif2_1, out2, out_hw, train)
+        cost = self.classif2_1(self.classif2_0(out2, train))[..., 0]
+        return fused_upsample_softargmin(
+            cost.astype(jnp.float32), self.max_disp, out_hw
+        )
 
     # ---- forwards ----
 

@@ -293,7 +293,9 @@ class PCWNet(nn.Module):
 
     def _head(self, conv_a, conv_b, x, out_hw, train):
         cost = conv_b(conv_a(x, train))[..., 0]
-        return upsample_cost_and_regress(cost, self.max_disp, out_hw, align_corners=True)
+        return upsample_cost_and_regress(
+            cost.astype(jnp.float32), self.max_disp, out_hw, align_corners=True
+        )
 
     def refine(self, pred3, fl, fr, out_hw, train: bool = False):
         """Full-res warp + signed-correlation refinement (pwcnet_ddim.py:486-502,
@@ -312,16 +314,28 @@ class PCWNet(nn.Module):
     # ---- diffusion-conditioned single pass (pwcnet_ddim.py:467-530) ----
 
     def denoise(self, combine_volume, fl, fr, latent, t, out_hw, train: bool = False):
+        """Returns ``(disp_finetune, uncertainty)`` via the fused Pallas head.
+
+        Note: the reference scores uncertainty as ``Σ|d - disp_finetune|·p3``
+        (pwcnet_ddim.py:554-559); the fused head scores against its own pred3.
+        The two differ by at most the refinement residual ``|pred3 -
+        disp_finetune|`` (sub-pixel), inside the renewal threshold noise.
+        """
+        from diffuvolume_tpu.ops.pallas.fused_head import fused_upsample_softargmin
+
         noise = self.time_embedding(latent, t)
         noise = jnp.clip(noise, -self.scale, self.scale)
         noise = (noise / self.scale + 1.0) / 2.0
-        vol = combine_volume * noise[..., None]
+        vol = combine_volume * noise[..., None].astype(combine_volume.dtype)
         out1 = self.dres2(vol, train)
         out2 = self.dres3(out1, train)
         out3 = self.dres4(out2, train)
-        pred3, prob3 = self._head(self.classif3_0, self.classif3_1, out3, out_hw, train)
+        cost3 = self.classif3_1(self.classif3_0(out3, train))[..., 0]
+        pred3, unc3 = fused_upsample_softargmin(
+            cost3.astype(jnp.float32), self.max_disp, out_hw, align_corners=True
+        )
         disp_finetune = self.refine(pred3, fl, fr, out_hw, train)
-        return disp_finetune, prob3
+        return disp_finetune, unc3
 
     # ---- forwards (pwcnet_ddim.py:604-758) ----
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from diffuvolume_tpu.parallel.volume_sharding import constrain_volume
+
 
 def groupwise_correlation(fea1: jax.Array, fea2: jax.Array, num_groups: int) -> jax.Array:
     """Per-group mean of the elementwise product of two feature maps.
@@ -63,7 +65,7 @@ def build_gwc_volume(
             corr = groupwise_correlation(left[:, :, d:, :], right[:, :, :-d, :], num_groups)
             corr = jnp.pad(corr, ((0, 0), (0, 0), (d, 0), (0, 0)))
         slices.append(corr)
-    return jnp.stack(slices, axis=1)
+    return constrain_volume(jnp.stack(slices, axis=1))
 
 
 def build_concat_volume(left: jax.Array, right: jax.Array, max_disp: int) -> jax.Array:
@@ -93,7 +95,7 @@ def build_concat_volume(left: jax.Array, right: jax.Array, max_disp: int) -> jax
         right_slices.append(r)
     right_vol = jnp.stack(right_slices, axis=1)  # (B, D, H, W, C)
     left_vol = jnp.broadcast_to(left[:, None], (b, max_disp, h, w, c))
-    return jnp.concatenate([left_vol, right_vol], axis=-1)
+    return constrain_volume(jnp.concatenate([left_vol, right_vol], axis=-1))
 
 
 def build_signed_correlation_volume(

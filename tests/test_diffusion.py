@@ -132,8 +132,7 @@ def test_ddim_sample_shapes_and_ensemble():
     const_disp = jnp.full((b, h, w), 10.0)
 
     def denoise_fn(latent, t):
-        prob = jnp.zeros((b, 192, h, w)).at[:, 10].set(1.0)
-        return const_disp, prob
+        return const_disp, jnp.zeros((b, h, w))  # zero uncertainty: confident
 
     baseline = jnp.full((b, h, w), 10.0)
     latent0 = encode_disparity_volume(jnp.full((b, h4, w4), 2.5), 48, 1.0)

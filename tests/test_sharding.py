@@ -66,6 +66,47 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf8), atol=2e-5)
 
 
+def test_volume_sharded_step_matches_single_device():
+    """2-way data × 4-way volume (H axis) sharding must match single device.
+
+    GSPMD inserts the halo exchanges for the 3D convs over the sharded H axis;
+    the constraint enters through the cost-volume builders
+    (parallel/volume_sharding.py)."""
+    from jax.sharding import PartitionSpec
+    from diffuvolume_tpu.parallel.volume_sharding import volume_sharding
+
+    model = ACVNet(max_disp=64, diffusion=True)
+    optimizer = optax.adam(1e-3)
+    b, h, w = 2, 64, 64  # H4=16 → 4-way sharding gives 4 rows/shard
+
+    key = jax.random.PRNGKey(11)
+    batch = {
+        "left": jax.random.normal(key, (b, h, w, 3)),
+        "right": jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, 3)),
+        "disp_gt": jax.random.uniform(
+            jax.random.fold_in(key, 2), (b, h, w), minval=1.0, maxval=60.0
+        ),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(12), (1, h, w), optimizer)
+    step_fn = make_train_step(model, optimizer)
+    _, m1 = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(13))
+
+    mesh = make_mesh(n_data=2, n_volume=4)
+    bsh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(repl, {k: bsh for k in batch}, repl),
+        out_shardings=(repl, repl),
+    )
+    with mesh, volume_sharding(PartitionSpec("data", None, "volume")):
+        _, m2 = jitted(
+            jax.device_put(state, repl), shard_batch(batch, mesh),
+            jax.random.PRNGKey(13),
+        )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+
+
 def test_metrics_finite_and_loss_decreases():
     """A few steps on a fixed batch should reduce the loss."""
     model = ACVNet(max_disp=64, diffusion=True)
