@@ -50,6 +50,40 @@ def disparity_uncertainty(prob: jax.Array, disp: jax.Array, max_disp: int) -> ja
     return jnp.sum(diff * prob, axis=1)
 
 
+def disparity_regression_nearby(
+    similarity: jax.Array, disp_step: float = 1.0, half_support_window: int = 2
+) -> jax.Array:
+    """Windowed soft-argmin around the similarity maximum.
+
+    Reference: KITTI12/models/submodule.py:40-84 — softmax only over
+    ``±half_support_window`` bins around the argmax (edge-clamped indices,
+    matching the reference's clamping which can duplicate edge bins).
+
+    Args:
+      similarity: ``(B, D, H, W)`` similarity volume (pre-softmax).
+      disp_step: disparity difference between adjacent bins.
+      half_support_window: window half-size in bins.
+
+    Returns:
+      ``(B, H, W)`` disparity.
+    """
+    idx_max = jnp.argmax(similarity, axis=1)  # (B, H, W)
+    idx_limit = similarity.shape[1] - 1
+    shifts = jnp.arange(-half_support_window, half_support_window + 1)
+    idx = jnp.clip(idx_max[:, None] + shifts[None, :, None, None], 0, idx_limit)
+    support = jnp.take_along_axis(similarity, idx, axis=1)
+    prob = jax.nn.softmax(support, axis=1)
+    return jnp.sum(prob * idx.astype(similarity.dtype) * disp_step, axis=1)
+
+
+def disparity_variance_confidence(
+    prob: jax.Array, disparity_samples: jax.Array, disp: jax.Array
+) -> jax.Array:
+    """Variance over explicit disparity samples (submodule.py:440-444)."""
+    diff = (disp[:, None] - disparity_samples) ** 2
+    return jnp.sum(prob * diff, axis=1)
+
+
 def disparity_variance(prob: jax.Array, disp: jax.Array, max_disp: int) -> jax.Array:
     """Variance of the cost volume around a disparity estimate.
 
