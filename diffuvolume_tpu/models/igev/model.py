@@ -148,10 +148,10 @@ class IGEVStereo(nn.Module):
                                kernel_init=torch_conv_init((3, 3)), dtype=dt)
         self.spx_4_in = InstanceNorm()
         self.spx_2 = Conv2xIN(32, deconv=True, dtype=dt)
-        self.spx = ConvTransposeBN(9, 4, 2, 1, 0, use_bn=False, dtype=dt)
+        self.spx = ConvTransposeBN(9, 4, 2, 1, 0, use_bn=False, use_bias=True, dtype=dt)
 
         self.spx_2_gru = Conv2xBN(32, deconv=True, dtype=dt)
-        self.spx_gru = ConvTransposeBN(9, 4, 2, 1, 0, use_bn=False, dtype=dt)
+        self.spx_gru = ConvTransposeBN(9, 4, 2, 1, 0, use_bn=False, use_bias=True, dtype=dt)
 
         self.conv = BasicConvIN(96, 3, 1, 1, dtype=dt)
         self.desc = nn.Conv(96, (1, 1), use_bias=True, dtype=dt)

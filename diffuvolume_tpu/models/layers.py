@@ -121,6 +121,7 @@ class ConvTransposeBN(nn.Module):
     padding: Any = 1
     output_padding: Any = 1
     use_bn: bool = True
+    use_bias: bool = False
     act: str | None = None
     dtype: Any = jnp.float32
 
@@ -148,6 +149,9 @@ class ConvTransposeBN(nn.Module):
             lhs_dilation=s,
             dimension_numbers=dn_spec,
         )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
         if self.use_bn:
             y = nn.BatchNorm(
                 use_running_average=not train,

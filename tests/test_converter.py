@@ -71,3 +71,13 @@ def test_pcw_rules_cover_model():
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 48, 16, 48)), train=True,
     )
     _check(jax.device_get(variables), pcw_rules(diffusion=True))
+
+
+def test_igev_rules_cover_model():
+    from diffuvolume_tpu.models.igev.model import IGEVStereo
+    from diffuvolume_tpu.tools.convert_torch_igev import igev_rules
+
+    model = IGEVStereo(max_disp=64, diffusion=True)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=True)
+    _check(jax.device_get(variables), igev_rules(diffusion=True))
