@@ -68,13 +68,16 @@ def build_gwc_volume(
     return constrain_volume(jnp.stack(slices, axis=1))
 
 
-def build_concat_volume(left: jax.Array, right: jax.Array, max_disp: int) -> jax.Array:
+def build_concat_volume(
+    left: jax.Array, right: jax.Array, max_disp: int, mask_ref: bool = False
+) -> jax.Array:
     """Concatenation 4D cost volume.
 
     ``volume[b, d, h, w] = concat(left[b,h,w], right[b,h,w-d])`` with the right
-    half zero where ``w < d``; the left half is filled at *every* ``(d, w)``
-    (SceneFlow/KITTI15 behavior, SceneFlow/models/submodule.py:180-191 — note
-    KITTI12's variant also masks the left half; see ``mask_ref=True``).
+    half zero where ``w < d``.  With ``mask_ref=False`` the left half is filled
+    at *every* ``(d, w)`` (SceneFlow/KITTI15 behavior, SceneFlow/models/
+    submodule.py:180-191); ``mask_ref=True`` zeroes the left half where
+    ``w < d`` too (KITTI12's variant, KITTI12/models/submodule.py:86-97).
 
     Args:
       left, right: ``(B, H, W, C)``.
@@ -84,18 +87,57 @@ def build_concat_volume(left: jax.Array, right: jax.Array, max_disp: int) -> jax
       ``(B, D, H, W, 2C)``.
     """
     b, h, w, c = left.shape
-    right_slices = []
+    right_slices, left_slices = [], []
     for d in range(max_disp):
         if d == 0:
-            r = right
+            r, l = right, left
         elif d >= w:
             r = jnp.zeros_like(right)
+            l = jnp.zeros_like(left)
         else:
-            r = jnp.pad(right[:, :, :-d, :], ((0, 0), (0, 0), (d, 0), (0, 0)))
+            pad = ((0, 0), (0, 0), (d, 0), (0, 0))
+            r = jnp.pad(right[:, :, :-d, :], pad)
+            l = jnp.pad(left[:, :, d:, :], pad) if mask_ref else left
         right_slices.append(r)
+        left_slices.append(l)
     right_vol = jnp.stack(right_slices, axis=1)  # (B, D, H, W, C)
-    left_vol = jnp.broadcast_to(left[:, None], (b, max_disp, h, w, c))
+    if mask_ref:
+        left_vol = jnp.stack(left_slices, axis=1)
+    else:
+        left_vol = jnp.broadcast_to(left[:, None], (b, max_disp, h, w, c))
     return constrain_volume(jnp.concatenate([left_vol, right_vol], axis=-1))
+
+
+def build_gwc_volume_norm(
+    left: jax.Array, right: jax.Array, max_disp: int, num_groups: int,
+    cosine: bool = False,
+) -> jax.Array:
+    """Normalized group-wise correlation volume.
+
+    ``cosine=False``: per-group L2-normalized correlation
+    (SceneFlow/models/submodule.py:240-250 via groupwise_correlation_norm);
+    ``cosine=True``: whole-feature cosine normalization before the plain gwc
+    (submodule.py:194-206, build_gwc_volume_cos).
+    """
+
+    def norm_group(f):
+        b, h, w, c = f.shape
+        g = f.reshape(b, h, w, num_groups, c // num_groups)
+        n = jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5
+        return (g / n).reshape(b, h, w, c)
+
+    def norm_all(f):
+        n = jnp.sqrt(jnp.sum(f**2, axis=-1, keepdims=True)) + 1e-5
+        return f / n
+
+    norm = norm_all if cosine else norm_group
+    vol = build_gwc_volume(norm(left), norm(right), max_disp, num_groups)
+    if not cosine:
+        # groupwise_correlation_norm takes the group MEAN of unit-vector
+        # products; build_gwc_volume already means over channels-per-group, so
+        # the semantics match after per-group normalization.
+        pass
+    return vol
 
 
 def build_signed_correlation_volume(

@@ -131,6 +131,32 @@ def warp_right_to_left(right: jax.Array, disp: jax.Array) -> jax.Array:
     return out * mask
 
 
+def coords_grid(batch: int, h: int, w: int) -> jax.Array:
+    """(B, H, W, 2) pixel-coordinate grid in (x, y) order
+    (KITTI15/core/utils/utils.py:80-83)."""
+    x = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    y = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    return jnp.broadcast_to(jnp.stack([x, y], axis=-1)[None], (batch, h, w, 2))
+
+
+def gauss_blur(x: jax.Array, n: int = 5, std: float = 1.0) -> jax.Array:
+    """Per-channel Gaussian blur (KITTI15/core/utils/utils.py:89-97).
+
+    Args:
+      x: ``(B, H, W, C)``.
+    """
+    g = jnp.arange(n, dtype=jnp.float32) - n // 2
+    gx, gy = jnp.meshgrid(g, g)
+    k = jnp.exp(-(gx**2 + gy**2) / (2 * std**2))
+    k = k / jnp.maximum(k.sum(), 1e-4)
+    c = x.shape[-1]
+    kernel = jnp.broadcast_to(k[:, :, None, None], (n, n, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(n // 2, n // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+
+
 def context_upsample(disp_low: jax.Array, up_weights: jax.Array) -> jax.Array:
     """Superpixel (convex 3×3 combination) upsampling of a low-res disparity.
 

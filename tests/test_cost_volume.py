@@ -66,6 +66,35 @@ def test_build_concat_volume():
             )
 
 
+def test_concat_volume_mask_ref():
+    from diffuvolume_tpu.ops.cost_volume import build_concat_volume as bcv
+
+    b, h, w, c, d = 1, 3, 7, 4, 4
+    left = RNG.standard_normal((b, h, w, c)).astype(np.float32)
+    right = RNG.standard_normal((b, h, w, c)).astype(np.float32)
+    out = np.asarray(bcv(jnp.asarray(left), jnp.asarray(right), d, mask_ref=True))
+    for di in range(1, d):
+        # KITTI12 variant zeroes the left half where w < d too
+        np.testing.assert_allclose(out[:, di, :, :di, :c], 0.0, atol=0)
+        np.testing.assert_allclose(out[:, di, :, di:, :c], left[:, :, di:], atol=0)
+
+
+def test_gwc_volume_norm_variants():
+    from diffuvolume_tpu.ops.cost_volume import build_gwc_volume_norm
+
+    b, h, w, c, g, d = 1, 3, 8, 8, 4, 3
+    left = RNG.standard_normal((b, h, w, c)).astype(np.float32)
+    right = RNG.standard_normal((b, h, w, c)).astype(np.float32)
+    for cosine in (False, True):
+        out = np.asarray(
+            build_gwc_volume_norm(jnp.asarray(left), jnp.asarray(right), d, g, cosine)
+        )
+        assert out.shape == (b, d, h, w, g)
+        assert np.isfinite(out).all()
+        # normalized correlations bounded (mean of products of unit-ish vecs)
+        assert np.abs(out).max() <= 1.0 + 1e-4
+
+
 def test_build_signed_correlation_volume():
     b, h, w, c, md = 1, 3, 8, 4, 2
     left = RNG.standard_normal((b, h, w, c)).astype(np.float32)

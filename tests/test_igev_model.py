@@ -104,6 +104,30 @@ def test_igev_train_forward_with_diffusion(igev_and_vars):
     assert np.isfinite(np.asarray(disp_ups)).all()
 
 
+def test_igev_train_step(igev_and_vars):
+    import optax
+    from diffuvolume_tpu.train.loop import TrainState, make_igev_train_step
+
+    model, variables = igev_and_vars
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(2e-4))
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    key = jax.random.PRNGKey(10)
+    batch = {
+        "left": jax.random.uniform(key, (B, H, W, 3), maxval=255.0),
+        "right": jax.random.uniform(jax.random.fold_in(key, 1), (B, H, W, 3), maxval=255.0),
+        "disp_gt": jax.random.uniform(jax.random.fold_in(key, 2), (B, H, W), minval=1.0, maxval=60.0),
+    }
+    step = make_igev_train_step(model, opt, iters=2)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(11))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
 def test_igev_ddim_pipeline(igev_and_vars):
     import dataclasses
     from diffuvolume_tpu.diffusion import KITTI15_DDIM
