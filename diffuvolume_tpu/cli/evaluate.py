@@ -69,7 +69,10 @@ def main(argv=None):
         "pcw": ("gwcnet-gc", "pcwnet_ddim", KITTI12_DDIM, pcw_ddim_inference),
         "igev": ("igev", "igev_ddim", KITTI15_DDIM, igev_ddim_inference),
     }
+    import dataclasses
+
     base_name, ddim_name, cfg, pipeline = names[args.backbone]
+    cfg = dataclasses.replace(cfg, max_disp=args.maxdisp, num_bins=args.maxdisp // 4)
     baseline = build_model(base_name, max_disp=args.maxdisp)
     ddim = build_model(ddim_name, max_disp=args.maxdisp)
 

@@ -14,6 +14,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import optax
 
 from diffuvolume_tpu.data.zoo import fetch_dataset
@@ -40,7 +41,45 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--summary_freq", type=int, default=100)
+    # Per-epoch DDIM evaluation with best-D1 tracking (KITTI12/main.py:117-137).
+    p.add_argument("--testlist", default=None)
+    p.add_argument("--eval_freq", type=int, default=0, help="epochs between evals (0=off)")
+    p.add_argument("--eval_baseline_ckpt", default=None,
+                   help="frozen baseline checkpoint for the two-model eval")
+    p.add_argument("--eval_max_images", type=int, default=0)
     return p.parse_args(argv)
+
+
+def _epoch_eval(args, model, state, baseline, baseline_vars, dataset_cls):
+    """Run the two-model DDIM eval with the in-training params; return D1."""
+    import dataclasses
+
+    from diffuvolume_tpu.diffusion import SCENEFLOW_DDIM
+    from diffuvolume_tpu.eval.metrics import metrics_batch
+    from diffuvolume_tpu.eval.pipeline import acv_ddim_inference
+
+    cfg = dataclasses.replace(
+        SCENEFLOW_DDIM, max_disp=model.max_disp, num_bins=model.max_disp // 4
+    )
+    test_ds = dataset_cls(args.datapath, list_filename=args.testlist, training=False)
+    dvars = {"params": state.params, "batch_stats": state.batch_stats}
+    n = len(test_ds) if args.eval_max_images == 0 else min(args.eval_max_images, len(test_ds))
+    d1s, epes = [], []
+    rng = jax.random.PRNGKey(0)
+    for i in range(n):
+        s = test_ds[i]
+        left = jnp.asarray(s["left"])[None]
+        right = jnp.asarray(s["right"])[None]
+        rng, k = jax.random.split(rng)
+        final, _ = acv_ddim_inference(
+            baseline, model, baseline_vars, dvars, left, right, k, cfg
+        )
+        gt = jnp.asarray(s["disp_gt"])[None]
+        mask = (gt > 0) & (gt < model.max_disp)
+        m = metrics_batch(final, gt, mask)
+        d1s.append(float(m["D1"][0]))
+        epes.append(float(m["EPE"][0]))
+    return float(np.mean(d1s)), float(np.mean(epes))
 
 
 def main(argv=None):
@@ -65,7 +104,16 @@ def main(argv=None):
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed at epoch {start_epoch}")
 
-    mesh = make_mesh()
+    # Data-axis size must divide the global batch (the reference's bs=23 over
+    # 6 GPUs unevenness has no GSPMD analog); use the largest compatible size.
+    import math
+
+    n_dev = len(jax.devices())
+    n_data = math.gcd(args.batch_size, n_dev)
+    if n_data < n_dev:
+        print(f"note: using {n_data}/{n_dev} devices (batch {args.batch_size} "
+              f"not divisible by {n_dev})")
+    mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
     bsh, repl = batch_sharding(mesh), replicated_sharding(mesh)
     state = jax.device_put(state, repl)
     step_fn = jax.jit(
@@ -74,6 +122,21 @@ def main(argv=None):
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+    # Optional frozen baseline for the per-epoch two-model eval.
+    eval_on = args.eval_freq > 0
+    if eval_on:
+        from diffuvolume_tpu.cli.evaluate import load_variables
+
+        baseline = build_model("acvnet", max_disp=args.maxdisp)
+        s0 = dataset[0]
+        eh, ew = s0["disp_gt"].shape
+        x = jnp.zeros((1, eh, ew, 3))
+        baseline_vars = load_variables(
+            args.eval_baseline_ckpt, baseline,
+            lambda: baseline.init(jax.random.PRNGKey(0), x, x, train=False),
+        )
+    best_d1 = float("inf")
 
     rng = jax.random.PRNGKey(args.seed)
     with mesh:
@@ -94,6 +157,15 @@ def main(argv=None):
                     )
             print(f"epoch {epoch} done: mean loss {meter.mean():.4f}")
             save_checkpoint(args.logdir, int(state.step), jax.device_get(state))
+            if eval_on and (epoch + 1) % args.eval_freq == 0:
+                d1, epe = _epoch_eval(
+                    args, model, state, baseline, baseline_vars, type(dataset)
+                )
+                tag = ""
+                if d1 < best_d1:
+                    best_d1 = d1
+                    tag = "  (best)"
+                print(f"epoch {epoch} eval: D1 {d1:.4f} EPE {epe:.4f}{tag}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,83 @@
+"""End-to-end CLI integration on a synthetic on-disk dataset (CPU).
+
+Builds a miniature SceneFlow-layout dataset (PNG pairs + PFM disparity),
+runs the train CLI for one epoch (tiny model), verifies a checkpoint lands,
+then runs the evaluate CLI over the same files.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffuvolume_tpu.data.readers import write_pfm
+
+RNG = np.random.default_rng(21)
+
+
+@pytest.fixture(scope="module")
+def synthetic_sceneflow(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sceneflow")
+    h, w = 96, 160
+    for scene in ("A/0000", "A/0001"):
+        for eye in ("left", "right"):
+            os.makedirs(root / "frames_finalpass/TRAIN" / scene / eye, exist_ok=True)
+        os.makedirs(root / "disparity/TRAIN" / scene / "left", exist_ok=True)
+        for frame in ("0006", "0007"):
+            base = RNG.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            shift = np.roll(base, -3, axis=1)
+            Image.fromarray(base).save(
+                root / "frames_finalpass/TRAIN" / scene / "left" / f"{frame}.png"
+            )
+            Image.fromarray(shift).save(
+                root / "frames_finalpass/TRAIN" / scene / "right" / f"{frame}.png"
+            )
+            disp = np.full((h, w), 3.0, np.float32) + RNG.uniform(0, 0.5, (h, w)).astype(np.float32)
+            write_pfm(
+                str(root / "disparity/TRAIN" / scene / "left" / f"{frame}.pfm"), disp
+            )
+    return str(root)
+
+
+def test_glob_manifest_and_batches(synthetic_sceneflow):
+    from diffuvolume_tpu.data.sceneflow import SceneFlowDataset
+
+    ds = SceneFlowDataset(synthetic_sceneflow, training=False)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["left"].shape[-1] == 3
+    assert s["disp_gt"].ndim == 2
+
+
+def test_train_cli_one_epoch(synthetic_sceneflow, tmp_path, monkeypatch):
+    from diffuvolume_tpu.cli import train as train_cli
+    from diffuvolume_tpu.data import sceneflow as sf
+
+    # tiny crops so the CPU epoch is fast
+    monkeypatch.setattr(sf.SceneFlowDataset, "TRAIN_CROP", (64, 96))
+    logdir = str(tmp_path / "ckpts")
+    train_cli.main([
+        "--datapath", synthetic_sceneflow,
+        "--model", "acvnet_ddim", "--maxdisp", "64",
+        "--batch_size", "2", "--epochs", "1",
+        "--lr", "1e-3", "--lrepochs", "10:2",
+        "--logdir", logdir,
+    ])
+    from diffuvolume_tpu.train.checkpoint import latest_step
+
+    assert latest_step(logdir) == 2  # 4 samples / batch 2 → 2 steps
+
+
+def test_evaluate_cli_random_init(synthetic_sceneflow, capsys, monkeypatch):
+    from diffuvolume_tpu.cli import evaluate as eval_cli
+    from diffuvolume_tpu.data import sceneflow as sf
+
+    monkeypatch.setattr(sf.SceneFlowDataset, "TEST_CROP", (64, 96))
+    eval_cli.main([
+        "--backbone", "acv", "--datapath", synthetic_sceneflow,
+        "--maxdisp", "64", "--max_images", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "FINAL:" in out and "EPE" in out
