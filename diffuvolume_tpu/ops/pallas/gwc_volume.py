@@ -1,0 +1,122 @@
+"""Pallas TPU kernel: group-wise correlation cost-volume builder.
+
+The XLA path (ops.cost_volume.build_gwc_volume) emits 48 shifted slice+pad+
+stack ops; this kernel builds each (b, h) scanline's full (D, W, G) slab in
+one VMEM-resident pass: per shift d the right row is rolled (VPU), multiplied
+into the left row, and group-meaned via a block-diagonal (C, G) matmul (MXU) —
+one HBM write of exactly the output volume.
+
+Mosaic constraints: all 2-D ops; the (W, C)·(C, G) group-mean matmul keeps
+lanes aligned; rolls along the sublane (W) axis.
+
+Parity-tested against the XLA builder in tests/test_pallas_gwc.py (exact,
+2e-7 on real TPU).  MEASUREMENT (v5e, 1×128×240×320, D=48, G=40): this kernel
+runs 7.2 ms vs XLA's 4.2 ms — the G=40 output lane dim pads to 128 (3.2×
+VMEM/store waste) and caps the per-cell tile at one scanline, so the XLA
+builder remains the default in ops.cost_volume; the op is ~1% of pipeline
+time either way.  Kept as the reference Pallas formulation (roll + block-
+diagonal matmul) for shapes with lane-aligned group counts, where it wins.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# Output block per grid cell is (D, ROWS, W, G) floats, double-buffered, and
+# the G=40 lane dim pads to 128 — ROWS=1 is the largest that fits VMEM at the
+# SceneFlow eval shape (48×1×240×128pad×4 B ≈ 5.9 MB ×2).
+_ROWS = 1
+
+
+def _make_kernel(max_disp: int, w: int, rows: int):
+    def kernel(left_ref, right_ref, pmat_ref, out_ref):
+        # left/right: (1, ROWS, W, C); pmat: (C, G); out: (1, D, ROWS, W, G)
+        c = left_ref.shape[-1]
+        l = left_ref[0].reshape(rows * w, c)   # sublane-merge (contiguous)
+        r = right_ref[0].reshape(rows * w, c)
+        # per-position scanline index (w coordinate within each row)
+        widx = jax.lax.broadcasted_iota(jnp.int32, (rows * w, 1), 0) % w
+        for d in range(max_disp):  # static unroll
+            # roll across the stacked rows: within-row shift is correct for
+            # w >= d; the cross-row contamination lands exactly in the
+            # masked w < d region.
+            shifted = pltpu.roll(r, shift=d, axis=0) if d else r
+            prod = l * shifted
+            corr = jax.lax.dot_general(  # group mean on the MXU
+                prod, pmat_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (ROWS*W, G)
+            corr = jnp.where(widx >= d, corr, 0.0)
+            out_ref[0, d] = corr.reshape(rows, w, -1).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_disp", "num_groups", "interpret")
+)
+def gwc_volume_pallas(
+    left: jax.Array,
+    right: jax.Array,
+    max_disp: int,
+    num_groups: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Group-wise correlation volume ``(B, D, H, W, G)`` (channels-last).
+
+    Semantics identical to ops.cost_volume.build_gwc_volume
+    (SceneFlow/models/submodule.py:228-238).
+
+    Args:
+      left, right: ``(B, H, W, C)`` feature maps.
+      max_disp: shifts ``D``.
+      num_groups: correlation groups ``G``.
+    """
+    b, h, w, c = left.shape
+    assert c % num_groups == 0
+    cpg = c // num_groups
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # Block-diagonal group-mean projection (C, G).
+    p = np.zeros((c, num_groups), np.float32)
+    for g in range(num_groups):
+        p[g * cpg : (g + 1) * cpg, g] = 1.0 / cpg
+    pmat = jnp.asarray(p)
+
+    rows = _ROWS if h % _ROWS == 0 else 1
+    kernel = _make_kernel(max_disp, w, rows)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, w, c), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, w, c), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, num_groups), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, max_disp, rows, w, num_groups), lambda bi, hi: (bi, 0, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, max_disp, h, w, num_groups), left.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * max_disp * w * c,
+            bytes_accessed=b * h * w * c * 4 * 2
+            + b * max_disp * h * w * num_groups * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(left, right, pmat)
+    return out
