@@ -124,6 +124,36 @@ def test_codec_sums_to_one():
     np.testing.assert_allclose(x01.sum(axis=1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.parametrize("preset", ["kitti12", "kitti15"])
+def test_ddim_variant_presets(preset):
+    """KITTI12 (noise init, compounding q_sample replace, skip-last mask) and
+    KITTI15 (hard clamp, no uncertainty) sampler variants run and ensemble."""
+    from diffuvolume_tpu.diffusion import KITTI12_DDIM, KITTI15_DDIM
+    import dataclasses
+
+    cfg = {"kitti12": KITTI12_DDIM, "kitti15": KITTI15_DDIM}[preset]
+    b, h, w = 1, 16, 16
+    cfg = dataclasses.replace(cfg, max_disp=48, num_bins=12)
+    sched = make_schedule(1000)
+
+    const = jnp.full((b, h, w), 6.0)
+
+    def denoise_fn(latent, t):
+        return const + 0.1 * jnp.tanh(latent.mean()), jnp.zeros((b, h, w))
+
+    baseline = jnp.full((b, h, w), 6.0)
+    latent0 = encode_disparity_volume(jnp.full((b, h // 4, w // 4), 1.5), 12, 1.0)
+    final, steps = ddim_sample(
+        sched, cfg, denoise_fn, baseline, latent0, jax.random.PRNGKey(0)
+    )
+    assert final.shape == (b, h, w)
+    assert steps.shape == (cfg.sampling_steps, b, h, w)
+    assert np.isfinite(np.asarray(final)).all()
+    # hard clamp (K15): every step disp within hard_clamp_tau of baseline
+    if cfg.hard_clamp_tau is not None:
+        assert float(jnp.abs(steps - baseline).max()) < cfg.hard_clamp_tau
+
+
 def test_ddim_sample_shapes_and_ensemble():
     sched = make_schedule(1000)
     cfg = DDIMConfig(sampling_steps=5)
