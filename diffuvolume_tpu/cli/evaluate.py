@@ -78,6 +78,8 @@ def main(argv=None):
 
     sample = dataset[0]
     h, w = sample["left"].shape[:2]
+    # params are shape-independent; init at the /32-padded eval shape
+    h, w = -(-h // 32) * 32, -(-w // 32) * 32
 
     def init_baseline():
         x = jnp.zeros((1, h, w, 3))
@@ -101,14 +103,24 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     n = len(dataset) if args.max_images == 0 else min(args.max_images, len(dataset))
     t_total, t_count = 0.0, 0
+    from diffuvolume_tpu.utils.padding import InputPadder
+
     for i in range(n):
         s = dataset[i]
         left = jnp.asarray(s["left"])[None]
         right = jnp.asarray(s["right"])[None]
+        padder = None
+        if left.shape[1] % 32 or left.shape[2] % 32:
+            # zero-shot datasets (ETH3D/Middlebury) come in odd sizes; pad to
+            # /32 like KITTI15/evaluate_stereo.py:85-86 and unpad the output.
+            padder = InputPadder(left.shape, divis_by=32)
+            left, right = padder.pad(left, right)
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
         kw = {"iters": args.iters} if args.backbone == "igev" else {}
         final, _ = pipeline(baseline, ddim, bvars, dvars, left, right, k, cfg, **kw)
+        if padder is not None:
+            final = padder.unpad(final)
         final = jax.block_until_ready(final)
         if i > 0:  # skip compile
             t_total += time.perf_counter() - t0
