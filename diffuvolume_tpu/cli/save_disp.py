@@ -54,11 +54,15 @@ def main(argv=None):
         "pcw": ("gwcnet-gc", "pcwnet_ddim", KITTI12_DDIM, pcw_ddim_inference),
         "igev": ("igev", "igev_ddim", KITTI15_DDIM, igev_ddim_inference),
     }
+    import dataclasses
+
     base_name, ddim_name, cfg, pipeline = names[args.backbone]
+    cfg = dataclasses.replace(cfg, max_disp=args.maxdisp, num_bins=args.maxdisp // 4)
     baseline = build_model(base_name, max_disp=args.maxdisp)
     ddim = build_model(ddim_name, max_disp=args.maxdisp)
     s0 = dataset[0]
     h, w = s0["left"].shape[:2]
+    h, w = -(-h // 32) * 32, -(-w // 32) * 32  # init at /32-padded shape
     x = jnp.zeros((1, h, w, 3))
     bvars = load_variables(args.baseline_ckpt, baseline,
                            lambda: baseline.init(jax.random.PRNGKey(0), x, x, train=False))
