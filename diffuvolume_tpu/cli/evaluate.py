@@ -39,11 +39,16 @@ def parse_args(argv=None):
     p.add_argument("--iters", type=int, default=32, help="IGEV GRU iterations")
     p.add_argument("--max_images", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--baseline_only", action="store_true",
+        help="evaluate the frozen baseline alone, no DDIM refinement "
+        "(the reference's KITTI15/evaluate_stereo_origin.py)",
+    )
     return p.parse_args(argv)
 
 
-def load_variables(path, model, sample_init):
-    """Load torch .ckpt/.pth (via the converter) or orbax checkpoints."""
+def load_variables(path, model, sample_init, backbone="acv"):
+    """Load torch .ckpt/.pth (via the per-backbone converter) or orbax."""
     if path is None:
         print("WARNING: no checkpoint; using random init")
         return sample_init()
@@ -51,10 +56,17 @@ def load_variables(path, model, sample_init):
         import torch
 
         from diffuvolume_tpu.tools.convert_torch import convert_acv_state_dict
+        from diffuvolume_tpu.tools.convert_torch_igev import convert_igev_state_dict
+        from diffuvolume_tpu.tools.convert_torch_pcw import convert_pcw_state_dict
 
+        convert = {
+            "acv": convert_acv_state_dict,
+            "pcw": convert_pcw_state_dict,
+            "igev": convert_igev_state_dict,
+        }[backbone]
         sd = torch.load(path, map_location="cpu")
         sd = sd.get("model", sd)
-        variables = convert_acv_state_dict(sd, diffusion=model.diffusion)
+        variables = convert(sd, diffusion=model.diffusion)
         return jax.tree.map(jnp.asarray, variables)
     raise ValueError(f"unsupported checkpoint: {path}")
 
@@ -96,8 +108,12 @@ def main(argv=None):
         return ddim.init(jax.random.PRNGKey(0), x, x, dq,
                          jnp.zeros((1,), jnp.int32), nz, train=True)
 
-    bvars = load_variables(args.baseline_ckpt, baseline, init_baseline)
-    dvars = load_variables(args.ddim_ckpt, ddim, init_ddim)
+    bvars = load_variables(args.baseline_ckpt, baseline, init_baseline, args.backbone)
+    dvars = (
+        None
+        if args.baseline_only
+        else load_variables(args.ddim_ckpt, ddim, init_ddim, args.backbone)
+    )
 
     meter = AverageMeterDict()
     rng = jax.random.PRNGKey(args.seed)
@@ -117,8 +133,16 @@ def main(argv=None):
             left, right = padder.pad(left, right)
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
-        kw = {"iters": args.iters} if args.backbone == "igev" else {}
-        final, _ = pipeline(baseline, ddim, bvars, dvars, left, right, k, cfg, **kw)
+        if args.baseline_only:
+            from diffuvolume_tpu.eval.pipeline import baseline_inference
+
+            final = baseline_inference(
+                baseline, bvars, left, right,
+                iters=args.iters if args.backbone == "igev" else None,
+            )
+        else:
+            kw = {"iters": args.iters} if args.backbone == "igev" else {}
+            final, _ = pipeline(baseline, ddim, bvars, dvars, left, right, k, cfg, **kw)
         if padder is not None:
             final = padder.unpad(final)
         final = jax.block_until_ready(final)

@@ -19,7 +19,7 @@ import optax
 
 from diffuvolume_tpu.data.zoo import fetch_dataset
 from diffuvolume_tpu.models import build_model
-from diffuvolume_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from diffuvolume_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from diffuvolume_tpu.train.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from diffuvolume_tpu.train.loop import create_train_state, make_train_step
 from diffuvolume_tpu.train.lr import milestone_lr_schedule
@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--datapath", required=True)
     p.add_argument("--trainlist", default=None)
     p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="host decode/augment workers (reference: 16)")
+    p.add_argument("--shuffle", action="store_true", default=True)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--epochs", type=int, default=48)
     p.add_argument("--lrepochs", default="16,24,32,40,48:2")
@@ -138,14 +141,24 @@ def main(argv=None):
         )
     best_d1 = float("inf")
 
+    from diffuvolume_tpu.data.loader import DataLoader, prefetch_to_device
+
+    loader = DataLoader(
+        dataset, args.batch_size, shuffle=args.shuffle,
+        num_workers=args.num_workers, drop_last=True, seed=args.seed,
+    )
+
     rng = jax.random.PRNGKey(args.seed)
     with mesh:
         for epoch in range(start_epoch, args.epochs):
             meter = AverageMeter()
             t0 = time.time()
-            for i, batch in enumerate(dataset.batches(args.batch_size)):
-                batch = {k: v for k, v in batch.items() if k != "filenames"}
-                batch = shard_batch(batch, mesh)
+            batches = (
+                {k: v for k, v in b.items() if k not in ("filename", "filenames")}
+                for b in loader
+            )
+            # Batches land on device already batch-sharded, 2 ahead of compute.
+            for i, batch in enumerate(prefetch_to_device(batches, size=2, sharding=bsh)):
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, step_rng)
                 meter.update(float(metrics["loss"]))

@@ -49,6 +49,42 @@ def random_crop(
     return [a[y : y + ch, x : x + cw] for a in arrays]
 
 
+def scale_co_transform(
+    left: np.ndarray, right: np.ndarray, disp: np.ndarray, ratio: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Joint rescale of a stereo pair and its disparity (×ratio).
+
+    Reference: KITTI12/datasets/flow_transforms.py:24-47 (``Scale`` — dormant;
+    commented out at every call site).  Disparity values scale with the ratio.
+    """
+    import cv2
+
+    left = cv2.resize(left, None, fx=ratio, fy=ratio, interpolation=cv2.INTER_CUBIC)
+    right = cv2.resize(right, None, fx=ratio, fy=ratio, interpolation=cv2.INTER_CUBIC)
+    disp = cv2.resize(disp, None, fx=ratio, fy=ratio, interpolation=cv2.INTER_CUBIC) * ratio
+    return left, right, disp
+
+
+def random_vdisp(
+    right: np.ndarray, rng: np.random.Generator, angle: float = 0.05, px: float = 1.0
+) -> np.ndarray:
+    """Vertical-disparity asymmetry: small random rotation + y-shift of the
+    right image only.
+
+    Reference: KITTI12/datasets/flow_transforms.py:73-93 (``RandomVdisp`` —
+    dormant hook, kitti_dataset.py:79-90).
+    """
+    import cv2
+
+    px2 = rng.uniform(-px, px)
+    angle2 = rng.uniform(-angle, angle)
+    center = (rng.uniform(0, right.shape[0]), rng.uniform(0, right.shape[1]))
+    rot = cv2.getRotationMatrix2D(center, angle2, 1.0)
+    out = cv2.warpAffine(right, rot, right.shape[1::-1], flags=cv2.INTER_LINEAR)
+    trans = np.float32([[1, 0, 0], [0, 1, px2]])
+    return cv2.warpAffine(out, trans, right.shape[1::-1], flags=cv2.INTER_LINEAR)
+
+
 def occlusion_patch(right: np.ndarray, rng: np.random.Generator, p: float = 0.2) -> np.ndarray:
     """Right-image mean-fill rectangle (kitti_dataset.py:96-101)."""
     if rng.uniform() >= p:

@@ -81,6 +81,106 @@ class MiddleburyDataset:
         return out
 
 
+class _GlobStereoDataset:
+    """Shared glob-driven (left, right, disp-reader) dataset shape."""
+
+    def __init__(self):
+        self.samples: list[tuple[str, str, str]] = []
+
+    def _read_disp(self, path):  # → (disp, valid)
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        lf, rf, df = self.samples[i]
+        disp, valid = self._read_disp(df)
+        return {
+            "left": normalize_image(read_image(lf)),
+            "right": normalize_image(read_image(rf)),
+            "disp_gt": disp,
+            "valid": valid,
+            "filename": lf,
+        }
+
+
+class SintelStereoDataset(_GlobStereoDataset):
+    """MPI-Sintel stereo (stereo_datasets.py:203-214): clean+final passes,
+    split-channel PNG disparity with occlusion-mask validity (sparse)."""
+
+    def __init__(self, datapath: str):
+        super().__init__()
+        img1 = sorted(glob.glob(os.path.join(datapath, "training/*_left/*/frame_*.png")))
+        img2 = sorted(glob.glob(os.path.join(datapath, "training/*_right/*/frame_*.png")))
+        disp = sorted(glob.glob(os.path.join(datapath, "training/disparities/*/frame_*.png"))) * 2
+        for a, b, d in zip(img1, img2, disp):
+            assert a.split(os.sep)[-2:] == d.split(os.sep)[-2:], (a, d)
+            self.samples.append((a, b, d))
+
+    def _read_disp(self, path):
+        from diffuvolume_tpu.data.readers import read_disp_sintel
+
+        return read_disp_sintel(path)
+
+
+class FallingThingsDataset(_GlobStereoDataset):
+    """FallingThings (stereo_datasets.py:216-230): manifest-driven, depth PNG →
+    disparity via camera fx."""
+
+    def __init__(self, datapath: str):
+        super().__init__()
+        with open(os.path.join(datapath, "filenames.txt")) as f:
+            names = sorted(line.strip() for line in f if line.strip())
+        for e in names:
+            self.samples.append(
+                (
+                    os.path.join(datapath, e),
+                    os.path.join(datapath, e.replace("left.jpg", "right.jpg")),
+                    os.path.join(datapath, e.replace("left.jpg", "left.depth.png")),
+                )
+            )
+
+    def _read_disp(self, path):
+        from diffuvolume_tpu.data.readers import read_disp_fallingthings
+
+        return read_disp_fallingthings(path)
+
+
+class TartanAirDataset(_GlobStereoDataset):
+    """TartanAir (stereo_datasets.py:232-248): manifest-driven with keyword
+    filters, depth .npy → disparity 80/depth."""
+
+    def __init__(self, datapath: str, keywords: tuple[str, ...] = ()):
+        super().__init__()
+        with open(os.path.join(datapath, "tartanair_filenames.txt")) as f:
+            names = sorted(
+                s.strip()
+                for s in f
+                if s.strip() and "seasonsforest_winter/Easy" not in s
+            )
+        for kw in keywords:
+            names = [s for s in names if kw in s.lower()]
+        for e in names:
+            self.samples.append(
+                (
+                    os.path.join(datapath, e),
+                    os.path.join(datapath, e.replace("_left", "_right")),
+                    os.path.join(
+                        datapath,
+                        e.replace("image_left", "depth_left").replace(
+                            "left.png", "left_depth.npy"
+                        ),
+                    ),
+                )
+            )
+
+    def _read_disp(self, path):
+        from diffuvolume_tpu.data.readers import read_disp_tartanair
+
+        return read_disp_tartanair(path)
+
+
 class ConcatDataset:
     """Weighted concatenation (the reference's ``__mul__`` dataset repetition
     + ``+`` composition, stereo_datasets.py:112-122,295-335)."""
@@ -109,10 +209,19 @@ def fetch_dataset(name: str, datapath: str, training: bool = False, **kw):
 
     if name == "sceneflow":
         return SceneFlowDataset(datapath, training=training, **kw)
-    if name in ("kitti12", "kitti15", "kitti"):
+    if name in ("kitti12", "kitti15", "kitti", "kitti1215"):
+        # 'kitti1215' = the reference's combined-finetune loader
+        # (SceneFlow/datasets/kitti_dataset_1215.py) — same list-file protocol
+        # with entries spanning both datasets.
         return KITTIDataset(datapath, training=training, **kw)
     if name == "eth3d":
         return ETH3DDataset(datapath, **kw)
+    if name == "sintel":
+        return SintelStereoDataset(datapath)
+    if name == "fallingthings":
+        return FallingThingsDataset(datapath)
+    if name == "tartanair":
+        return TartanAirDataset(datapath, **kw)
     if name.startswith("middlebury"):
         return MiddleburyDataset(datapath, split=name[-1].upper() if name[-1] in "FHQfhq" else "F")
     raise KeyError(name)

@@ -237,3 +237,33 @@ def igev_ddim_inference(
     baseline_disp = baseline_pass(baseline_vars, left, right)
     final = sample(ddim_vars, left, right, baseline_disp, rng)
     return final, baseline_disp
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _baseline_forward(model, variables, inputs, iters):
+    left, right = inputs
+    if iters is not None:  # IGEV path
+        from diffuvolume_tpu.models.igev.model import igev_forward
+
+        return igev_forward(model, variables, left, right, iters=iters, test_mode=True)
+    out = model.apply(variables, left, right, train=False)
+    # ACV eval returns [pred]; PCW eval returns ([disp_finetune], [prob3]).
+    disp = out[0]
+    while isinstance(disp, (list, tuple)):
+        disp = disp[0]
+    return disp
+
+
+def baseline_inference(model, variables, left, right, iters: int | None = None):
+    """Frozen-baseline single-pass disparity (no diffusion).
+
+    The reference's baseline-only evaluation (KITTI15/evaluate_stereo_origin.py;
+    SceneFlow/KITTI12 get the same by evaluating model_origin alone).
+
+    Args:
+      iters: GRU iterations for the IGEV backbone; None for ACV/PCW.
+
+    Returns:
+      ``(B, H, W)`` disparity.
+    """
+    return _baseline_forward(model, variables, (left, right), iters)

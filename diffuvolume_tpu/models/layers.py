@@ -70,6 +70,7 @@ class ConvBN(nn.Module):
     dilation: Any = 1
     groups: int = 1
     use_bn: bool = True
+    norm: str = "bn"  # 'bn' | 'gn' (convgn* variants, GroupNorm(4))
     act: str | None = None
     use_bias: bool | None = None  # default: bias iff no BN
     dtype: Any = jnp.float32
@@ -95,12 +96,101 @@ class ConvBN(nn.Module):
             name="conv",
         )(x)
         if self.use_bn:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
+            if self.norm == "gn":
+                # convgn/convgn_3d(_group): GroupNorm(4, C) (submodule.py:105-126).
+                x = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=self.dtype, name="gn")(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    name="bn",
+                )(x)
+        return _ACTS[self.act](x)
+
+
+class SeparableConvBN3d(nn.Module):
+    """Axis-factorized 3-D conv: (k,1,1) → (1,k,1) → (1,1,k), optional BN.
+
+    Reference: SceneFlow/models/submodule.py:133-152 (``convbn_3d_new`` /
+    ``conv_3d_new``): each 1-D conv carries that axis's stride/padding; only
+    the final output is normalized.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bn: bool = True
+    act: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        axis_cfgs = [
+            ((k, 1, 1), (s, 1, 1), (p, 0, 0)),
+            ((1, k, 1), (1, s, 1), (0, p, 0)),
+            ((1, 1, k), (1, 1, s), (0, 0, p)),
+        ]
+        for i, (ks, ss, ps) in enumerate(axis_cfgs):
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=ks,
+                strides=ss,
+                padding=[(pi, pi) for pi in ps],
+                use_bias=False,
+                kernel_init=torch_conv_init(ks),
                 dtype=self.dtype,
-                name="bn",
+                name=f"conv{i}",
+            )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn",
+            )(x)
+        return _ACTS[self.act](x)
+
+
+class DepthwiseConvBN3d(nn.Module):
+    """Depthwise k³ conv + pointwise 1×1×1 (with bias) + optional BN.
+
+    Reference: SceneFlow/models/submodule.py:154-163 (``convbn_3d_dw`` /
+    ``conv_3d_dw``).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bn: bool = True
+    act: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_in = x.shape[-1]
+        k = _tuplify(self.kernel_size, 3)
+        x = nn.Conv(
+            features=c_in,
+            kernel_size=k,
+            strides=_tuplify(self.stride, 3),
+            padding=[(pi, pi) for pi in _tuplify(self.padding, 3)],
+            feature_group_count=c_in,
+            use_bias=False,
+            kernel_init=torch_conv_init(k),
+            dtype=self.dtype,
+            name="dw",
+        )(x)
+        x = nn.Conv(
+            features=self.features, kernel_size=(1, 1, 1), use_bias=True,
+            kernel_init=torch_conv_init((1, 1, 1)), dtype=self.dtype, name="pw",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn",
             )(x)
         return _ACTS[self.act](x)
 

@@ -21,11 +21,10 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from diffuvolume_tpu.models.layers import (
-    BasicBlock as _BasicBlockReLU,
+    _ACTS,
     ConvBN,
     ConvTransposeBN,
     DynamicHead,
-    mish,
     torch_conv_init,
 )
 from diffuvolume_tpu.ops.cost_volume import (
@@ -47,13 +46,14 @@ class BasicBlockMish(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    act: str = "mish"  # "relu" = the KITTI12/models/relu/ fork
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         pad = self.dilation if self.dilation > 1 else 1
         out = ConvBN(self.features, 3, self.stride, pad, self.dilation,
-                     act="mish", dtype=self.dtype, name="conv1")(x, train)
+                     act=self.act, dtype=self.dtype, name="conv1")(x, train)
         out = ConvBN(self.features, 3, 1, pad, self.dilation,
                      dtype=self.dtype, name="conv2")(out, train)
         if self.downsample:
@@ -71,6 +71,7 @@ class PCWFeatureExtractor(nn.Module):
     """
 
     concat_channels: int = 12
+    act: str = "mish"  # "relu" = the KITTI12/models/relu/ fork
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -79,7 +80,7 @@ class PCWFeatureExtractor(nn.Module):
 
         def mish_head(cin_name, mid, cout, kernel=3):
             def apply(y):
-                y = ConvBN(mid, kernel, 1, 1 if kernel == 3 else 0, act="mish",
+                y = ConvBN(mid, kernel, 1, 1 if kernel == 3 else 0, act=self.act,
                            dtype=dt, name=f"{cin_name}_0")(y, train)
                 return nn.Conv(cout, (1, 1), use_bias=False, dtype=dt,
                                kernel_init=torch_conv_init((1, 1)),
@@ -87,33 +88,33 @@ class PCWFeatureExtractor(nn.Module):
             return apply
 
         for i in range(3):
-            x = ConvBN(32, 3, 2 if i == 0 else 1, 1, act="mish", dtype=dt,
+            x = ConvBN(32, 3, 2 if i == 0 else 1, 1, act=self.act, dtype=dt,
                        name=f"firstconv{i}")(x, train)
         for i in range(3):
-            x = BasicBlockMish(32, dtype=dt, name=f"layer1_{i}")(x, train)
+            x = BasicBlockMish(32, act=self.act, dtype=dt, name=f"layer1_{i}")(x, train)
         l2 = x
         for i in range(16):
             l2 = BasicBlockMish(64, stride=2 if i == 0 else 1, downsample=(i == 0),
-                                dtype=dt, name=f"layer2_{i}")(l2, train)
+                                act=self.act, dtype=dt, name=f"layer2_{i}")(l2, train)
         l3 = l2
         for i in range(3):
-            l3 = BasicBlockMish(128, downsample=(i == 0), dtype=dt,
+            l3 = BasicBlockMish(128, downsample=(i == 0), act=self.act, dtype=dt,
                                 name=f"layer3_{i}")(l3, train)
         l4 = l3
         for i in range(3):
-            l4 = BasicBlockMish(128, dilation=2, dtype=dt, name=f"layer4_{i}")(l4, train)
+            l4 = BasicBlockMish(128, dilation=2, act=self.act, dtype=dt, name=f"layer4_{i}")(l4, train)
         l5 = l4
         for i in range(3):
             l5 = BasicBlockMish(192, stride=2 if i == 0 else 1, downsample=(i == 0),
-                                dtype=dt, name=f"layer5_{i}")(l5, train)
+                                act=self.act, dtype=dt, name=f"layer5_{i}")(l5, train)
         l6 = l5
         for i in range(3):
             l6 = BasicBlockMish(256, stride=2 if i == 0 else 1, downsample=(i == 0),
-                                dtype=dt, name=f"layer7_{i}")(l6, train)
+                                act=self.act, dtype=dt, name=f"layer7_{i}")(l6, train)
         l7 = l6
         for i in range(3):
             l7 = BasicBlockMish(512, stride=2 if i == 0 else 1, downsample=(i == 0),
-                                dtype=dt, name=f"layer9_{i}")(l7, train)
+                                act=self.act, dtype=dt, name=f"layer9_{i}")(l7, train)
 
         combine = jnp.concatenate([l2, l3, l4], axis=-1)  # 320 ch @ 1/4
         gw1 = mish_head("layer11", 320, 320)(combine)
@@ -121,9 +122,9 @@ class PCWFeatureExtractor(nn.Module):
         gw3 = mish_head("gw3", 320, 320)(l6)
         gw4 = mish_head("gw4", 320, 320)(l7)
 
-        refine = ConvBN(128, 3, 1, 1, act="mish", dtype=dt,
+        refine = ConvBN(128, 3, 1, 1, act=self.act, dtype=dt,
                         name="layer_refine_0")(combine, train)
-        refine = ConvBN(32, 1, 1, 0, act="mish", dtype=dt,
+        refine = ConvBN(32, 1, 1, 0, act=self.act, dtype=dt,
                         name="layer_refine_1")(refine, train)
 
         cc = self.concat_channels
@@ -143,6 +144,7 @@ class HourglassUp(nn.Module):
     concat combines, deconvs back with skips, FMish activations."""
 
     channels: int
+    act: str = "mish"  # "relu" = the KITTI12/models/relu/ fork
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -151,72 +153,74 @@ class HourglassUp(nn.Module):
         conv1 = nn.Conv(ch * 2, (3,) * 3, (2,) * 3, [(1, 1)] * 3, use_bias=False,
                         kernel_init=torch_conv_init((3,) * 3), dtype=dt,
                         name="conv1")(x)
-        conv1 = ConvBN(ch * 2, 3, 1, 1, act="mish", dtype=dt, name="combine1")(
+        conv1 = ConvBN(ch * 2, 3, 1, 1, act=self.act, dtype=dt, name="combine1")(
             jnp.concatenate([conv1, feature4], axis=-1), train)
-        conv2 = ConvBN(ch * 2, 3, 1, 1, act="mish", dtype=dt, name="conv2")(conv1, train)
+        conv2 = ConvBN(ch * 2, 3, 1, 1, act=self.act, dtype=dt, name="conv2")(conv1, train)
 
         conv3 = nn.Conv(ch * 4, (3,) * 3, (2,) * 3, [(1, 1)] * 3, use_bias=False,
                         kernel_init=torch_conv_init((3,) * 3), dtype=dt,
                         name="conv3")(conv2)
-        conv3 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="combine2")(
+        conv3 = ConvBN(ch * 4, 3, 1, 1, act=self.act, dtype=dt, name="combine2")(
             jnp.concatenate([conv3, feature5], axis=-1), train)
-        conv4 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="conv4")(conv3, train)
+        conv4 = ConvBN(ch * 4, 3, 1, 1, act=self.act, dtype=dt, name="conv4")(conv3, train)
 
         conv5 = nn.Conv(ch * 4, (3,) * 3, (2,) * 3, [(1, 1)] * 3, use_bias=False,
                         kernel_init=torch_conv_init((3,) * 3), dtype=dt,
                         name="conv5")(conv4)
-        conv5 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="combine3")(
+        conv5 = ConvBN(ch * 4, 3, 1, 1, act=self.act, dtype=dt, name="combine3")(
             jnp.concatenate([conv5, feature6], axis=-1), train)
-        conv6 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="conv6")(conv5, train)
+        conv6 = ConvBN(ch * 4, 3, 1, 1, act=self.act, dtype=dt, name="conv6")(conv5, train)
 
         c7 = ConvTransposeBN(ch * 4, 3, 2, 1, 1, dtype=dt, name="conv7")(conv6, train)
         r3 = ConvBN(ch * 4, 1, 1, 0, dtype=dt, name="redir3")(conv4, train)
-        conv7 = mish(c7 + r3)
+        conv7 = _ACTS[self.act](c7 + r3)
         c8 = ConvTransposeBN(ch * 2, 3, 2, 1, 1, dtype=dt, name="conv8")(conv7, train)
         r2 = ConvBN(ch * 2, 1, 1, 0, dtype=dt, name="redir2")(conv2, train)
-        conv8 = mish(c8 + r2)
+        conv8 = _ACTS[self.act](c8 + r2)
         c9 = ConvTransposeBN(ch, 3, 2, 1, 1, dtype=dt, name="conv9")(conv8, train)
         r1 = ConvBN(ch, 1, 1, 0, dtype=dt, name="redir1")(x, train)
-        return mish(c9 + r1)
+        return _ACTS[self.act](c9 + r1)
 
 
 class HourglassMish(nn.Module):
     """Plain Mish hourglass without attention (pwcnet_ddim.py:208-248)."""
 
     channels: int
+    act: str = "mish"  # "relu" = the KITTI12/models/relu/ fork
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         ch, dt = self.channels, self.dtype
-        c1 = ConvBN(ch * 2, 3, 2, 1, act="mish", dtype=dt, name="conv1")(x, train)
-        c2 = ConvBN(ch * 2, 3, 1, 1, act="mish", dtype=dt, name="conv2")(c1, train)
-        c3 = ConvBN(ch * 4, 3, 2, 1, act="mish", dtype=dt, name="conv3")(c2, train)
-        c4 = ConvBN(ch * 4, 3, 1, 1, act="mish", dtype=dt, name="conv4")(c3, train)
+        c1 = ConvBN(ch * 2, 3, 2, 1, act=self.act, dtype=dt, name="conv1")(x, train)
+        c2 = ConvBN(ch * 2, 3, 1, 1, act=self.act, dtype=dt, name="conv2")(c1, train)
+        c3 = ConvBN(ch * 4, 3, 2, 1, act=self.act, dtype=dt, name="conv3")(c2, train)
+        c4 = ConvBN(ch * 4, 3, 1, 1, act=self.act, dtype=dt, name="conv4")(c3, train)
         c5 = ConvTransposeBN(ch * 2, 3, 2, 1, 1, dtype=dt, name="conv5")(c4, train)
         r2 = ConvBN(ch * 2, 1, 1, 0, dtype=dt, name="redir2")(c2, train)
-        c5 = mish(c5 + r2)
+        c5 = _ACTS[self.act](c5 + r2)
         c6 = ConvTransposeBN(ch, 3, 2, 1, 1, dtype=dt, name="conv6")(c5, train)
         r1 = ConvBN(ch, 1, 1, 0, dtype=dt, name="redir1")(x, train)
-        return mish(c6 + r1)
+        return _ACTS[self.act](c6 + r1)
 
 
 class RefineNetV3(nn.Module):
     """Full-res dilated refinement net → residual disparity
     (pwcnet_ddim.py:251-306)."""
 
+    act: str = "mish"  # "relu" = the KITTI12/models/relu/ fork
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, disp: jax.Array, train: bool = False) -> jax.Array:
         dt = self.dtype
-        y = ConvBN(128, 3, 1, 1, act="mish", dtype=dt, name="conv1")(x, train)
-        y = ConvBN(128, 3, 1, 1, act="mish", dtype=dt, name="conv2")(y, train)
-        y = ConvBN(128, 3, 1, 2, 2, act="mish", dtype=dt, name="conv3")(y, train)
-        y = ConvBN(128, 3, 1, 4, 4, act="mish", dtype=dt, name="conv4")(y, train)
-        y = BasicBlockMish(96, dilation=8, downsample=True, dtype=dt, name="conv5")(y, train)
-        y = BasicBlockMish(64, dilation=16, downsample=True, dtype=dt, name="conv6")(y, train)
-        y = BasicBlockMish(32, dilation=1, downsample=True, dtype=dt, name="conv7")(y, train)
+        y = ConvBN(128, 3, 1, 1, act=self.act, dtype=dt, name="conv1")(x, train)
+        y = ConvBN(128, 3, 1, 1, act=self.act, dtype=dt, name="conv2")(y, train)
+        y = ConvBN(128, 3, 1, 2, 2, act=self.act, dtype=dt, name="conv3")(y, train)
+        y = ConvBN(128, 3, 1, 4, 4, act=self.act, dtype=dt, name="conv4")(y, train)
+        y = BasicBlockMish(96, dilation=8, downsample=True, act=self.act, dtype=dt, name="conv5")(y, train)
+        y = BasicBlockMish(64, dilation=16, downsample=True, act=self.act, dtype=dt, name="conv6")(y, train)
+        y = BasicBlockMish(32, dilation=1, downsample=True, act=self.act, dtype=dt, name="conv7")(y, train)
         y = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
                     kernel_init=torch_conv_init((3, 3)), dtype=dt, name="conv8")(y)
         return disp + y[..., 0]
@@ -230,27 +234,28 @@ class PCWNet(nn.Module):
     use_concat_volume: bool = True
     scale: float = 1.0
     num_groups: int = 40
+    act: str = "mish"  # "relu" = the KITTI12/models/relu/ fork
     dtype: Any = jnp.float32
 
     def setup(self):
         dt = self.dtype
         cc = 12 if self.use_concat_volume else 0
         self.concat_channels = cc
-        self.feature_extraction = PCWFeatureExtractor(concat_channels=max(cc, 1), dtype=dt)
-        self.dres0_0 = ConvBN(32, 3, 1, 1, act="mish", dtype=dt)
-        self.dres0_1 = ConvBN(32, 3, 1, 1, act="mish", dtype=dt)
-        self.dres1_0 = ConvBN(32, 3, 1, 1, act="mish", dtype=dt)
+        self.feature_extraction = PCWFeatureExtractor(concat_channels=max(cc, 1), act=self.act, dtype=dt)
+        self.dres0_0 = ConvBN(32, 3, 1, 1, act=self.act, dtype=dt)
+        self.dres0_1 = ConvBN(32, 3, 1, 1, act=self.act, dtype=dt)
+        self.dres1_0 = ConvBN(32, 3, 1, 1, act=self.act, dtype=dt)
         self.dres1_1 = ConvBN(32, 3, 1, 1, dtype=dt)
-        self.combine1 = HourglassUp(32, dtype=dt)
+        self.combine1 = HourglassUp(32, act=self.act, dtype=dt)
         if self.diffusion:
             self.time_embedding = DynamicHead(d_model=self.max_disp // 4, dtype=dt)
-        self.dres2 = HourglassMish(32, dtype=dt)
-        self.dres3 = HourglassMish(32, dtype=dt)
-        self.dres4 = HourglassMish(32, dtype=dt)
+        self.dres2 = HourglassMish(32, act=self.act, dtype=dt)
+        self.dres3 = HourglassMish(32, act=self.act, dtype=dt)
+        self.dres4 = HourglassMish(32, act=self.act, dtype=dt)
 
         def classif():
             return (
-                ConvBN(32, 3, 1, 1, act="mish", dtype=dt),
+                ConvBN(32, 3, 1, 1, act=self.act, dtype=dt),
                 nn.Conv(1, (3,) * 3, padding=[(1, 1)] * 3, use_bias=False,
                         kernel_init=torch_conv_init((3,) * 3), dtype=dt),
             )
@@ -260,8 +265,8 @@ class PCWNet(nn.Module):
         self.classif2_0, self.classif2_1 = classif()
         self.classif3_0, self.classif3_1 = classif()
         self.classif4_0, self.classif4_1 = classif()
-        self.refinenet3 = RefineNetV3(dtype=dt)
-        self.dispupsample = ConvBN(32, 1, 1, 0, act="mish", dtype=dt)
+        self.refinenet3 = RefineNetV3(act=self.act, dtype=dt)
+        self.dispupsample = ConvBN(32, 1, 1, 0, act=self.act, dtype=dt)
 
     # ---- volume construction (pwcnet_ddim.py:605-641) ----
 

@@ -140,6 +140,103 @@ def build_gwc_volume_norm(
     return vol
 
 
+def groupwise_correlation_4d(fea1: jax.Array, fea2: jax.Array, num_groups: int) -> jax.Array:
+    """Per-group mean correlation of two 4-D feature volumes.
+
+    Reference: SceneFlow/models/submodule.py:534-540 (``groupwise_correlation_4D``,
+    there ``(B, C, D, H, W)``; here channels last).
+
+    Args:
+      fea1, fea2: ``(B, D, H, W, C)``, ``C % num_groups == 0``.
+
+    Returns:
+      ``(B, D, H, W, G)``.
+    """
+    *lead, c = fea1.shape
+    assert c % num_groups == 0, (c, num_groups)
+    f1 = fea1.reshape(*lead, num_groups, c // num_groups)
+    f2 = fea2.reshape(*lead, num_groups, c // num_groups)
+    return jnp.mean(f1 * f2, axis=-1)
+
+
+def build_gwc_volume_unfold(
+    left: jax.Array, right: jax.Array, max_disp: int, num_groups: int
+) -> jax.Array:
+    """Unfold-style group-wise volume: per-group **sum** (not mean) reduction.
+
+    Reference: SceneFlow/models/submodule.py:262-277 (``Build_gwc_volume_unfold``):
+    zero-pads the target ``max_disp-1`` on the left, unfolds a ``(1, max_disp)``
+    window and flips, which is exactly the shifted product summed over
+    channels-per-group.  Identical to ``build_gwc_volume`` scaled by C/G.
+    """
+    cpg = left.shape[-1] // num_groups
+    return build_gwc_volume(left, right, max_disp, num_groups) * cpg
+
+
+def build_gwc_volume_v1(
+    left: jax.Array, right: jax.Array, max_disp: int, num_groups: int
+) -> jax.Array:
+    """Double-stride variant: disparity plane ``d`` correlates at shift ``2d``.
+
+    Reference: SceneFlow/models/submodule.py:281-293 (``build_gwc_volume_v1``):
+    ``volume[b,d,h,w,g] = corr(left[...,w], right[...,w-2d])`` for ``w >= 2d``,
+    zero elsewhere.
+    """
+    b, h, w, _ = left.shape
+    slices = []
+    for d in range(max_disp):
+        s = 2 * d
+        if s == 0:
+            corr = groupwise_correlation(left, right, num_groups)
+        elif s >= w:
+            corr = jnp.zeros((b, h, w, num_groups), left.dtype)
+        else:
+            corr = groupwise_correlation(left[:, :, s:, :], right[:, :, :-s, :], num_groups)
+            corr = jnp.pad(corr, ((0, 0), (0, 0), (s, 0), (0, 0)))
+        slices.append(corr)
+    return jnp.stack(slices, axis=1)
+
+
+def build_correlation_volume_ones(
+    left: jax.Array, right: jax.Array, max_disp: int, num_groups: int
+) -> jax.Array:
+    """Group-wise volume with a **ones** background for out-of-range pixels.
+
+    Reference: SceneFlow/models/submodule.py:494-505 (``build_correlation_volume``):
+    identical fill to ``build_gwc_volume`` but the buffer is initialized with
+    ``new_ones`` so unmatched ``(d, w < d)`` entries stay 1 instead of 0.
+    """
+    vol = build_gwc_volume(left, right, max_disp, num_groups)
+    w = left.shape[2]
+    d_idx = jnp.arange(max_disp)[:, None]
+    w_idx = jnp.arange(w)[None, :]
+    background = (w_idx < d_idx)[None, :, None, :, None]  # (1, D, 1, W, 1)
+    return jnp.where(background, jnp.ones_like(vol), vol)
+
+
+def patch_aggregation(volume: jax.Array, patch_weight: jax.Array) -> jax.Array:
+    """Weighted 3×3 spatial box-sum over a 4-D volume.
+
+    Reference: SceneFlow/models/submodule.py:252-259 (``patch_aggregation``):
+    unfolds the zero-padded 3×3 (H, W) neighborhood of every voxel, multiplies
+    by a per-voxel weight broadcast over the 9 taps, and sums — i.e.
+    ``out = patch_weight * boxsum_3x3(volume)``.
+
+    Args:
+      volume: ``(B, D, H, W, G)``.
+      patch_weight: ``(B, D, H, W, G)`` per-voxel weights.
+
+    Returns:
+      ``(B, D, H, W, G)``.
+    """
+    b, d, h, w, g = volume.shape
+    padded = jnp.pad(volume, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    box = sum(
+        padded[:, :, dy : dy + h, dx : dx + w, :] for dy in range(3) for dx in range(3)
+    )
+    return patch_weight * box
+
+
 def build_signed_correlation_volume(
     left: jax.Array, right: jax.Array, max_offset: int
 ) -> jax.Array:

@@ -157,6 +157,101 @@ def gauss_blur(x: jax.Array, n: int = 5, std: float = 1.0) -> jax.Array:
     )
 
 
+def spatial_transformer(
+    left: jax.Array, right: jax.Array, disparity_samples: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Disparity-sample feature warping via nearest(-floor) gather.
+
+    Reference: SceneFlow/models/submodule.py:447-500 (``SpatialTransformer``):
+    for each disparity sample the right features are gathered at
+    ``floor(clamp(w - d, 0, W-1))`` (torch ``.long()`` truncation) and zeroed
+    where the unclamped coordinate leaves ``[0, W-1]``; the left features are
+    broadcast over the sample axis.
+
+    Args:
+      left, right: ``(B, H, W, C)``.
+      disparity_samples: ``(B, S, H, W)``.
+
+    Returns:
+      ``(warped_right, left_expanded)``, both ``(B, S, H, W, C)``.
+    """
+    b, h, w, c = right.shape
+    s = disparity_samples.shape[1]
+    coords = (
+        jnp.arange(w, dtype=disparity_samples.dtype)[None, None, None, :]
+        - disparity_samples
+    )  # (B, S, H, W)
+    idx = jnp.clip(coords, 0, w - 1).astype(jnp.int32)  # floor for >= 0
+    right_e = jnp.broadcast_to(right[:, None], (b, s, h, w, c))
+    warped = jnp.take_along_axis(right_e, idx[..., None], axis=3)
+    valid = (coords >= 0) & (coords <= w - 1)
+    warped = warped * valid[..., None].astype(warped.dtype)
+    left_e = jnp.broadcast_to(left[:, None], (b, s, h, w, c))
+    return warped, left_e
+
+
+def spatial_transformer_grid(
+    left: jax.Array, right: jax.Array, disp_range_samples: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Disparity-sample feature warping via bilinear sampling.
+
+    Reference: SceneFlow/models/submodule.py:503-531 (``SpatialTransformer_grid``):
+    grid_sample with align_corners=True at ``x = w - d`` (y unchanged, so the
+    2-D bilinear collapses to 1-D linear along the scanline), zeros padding;
+    the left features are broadcast over the sample axis.
+
+    Args:
+      left, right: ``(B, H, W, C)``.
+      disp_range_samples: ``(B, S, H, W)``.
+
+    Returns:
+      ``(warped_right, left_expanded)``, both ``(B, S, H, W, C)``.
+    """
+    b, h, w, c = right.shape
+    s = disp_range_samples.shape[1]
+    coords = (
+        jnp.arange(w, dtype=disp_range_samples.dtype)[None, None, None, :]
+        - disp_range_samples
+    )  # (B, S, H, W)
+    warped = linear_sample_1d(right[:, None], coords, zero_pad=True)
+    left_e = jnp.broadcast_to(left[:, None], (b, s, h, w, c))
+    return warped, left_e
+
+
+def forward_interpolate(flow: "object") -> "object":
+    """Forward-splat a flow field and re-grid by nearest neighbor (host-side).
+
+    Reference: KITTI15/core/utils/utils.py:28-56 — numpy/scipy utility used by
+    RAFT-style warm-start (unused by the stereo recipes; kept for parity).
+
+    Args:
+      flow: ``(2, H, W)`` numpy array (dx, dy).
+
+    Returns:
+      ``(2, H, W)`` numpy array.
+    """
+    import numpy as np
+    from scipy import interpolate
+
+    flow = np.asarray(flow)
+    dx, dy = flow[0], flow[1]
+    ht, wd = dx.shape
+    x0, y0 = np.meshgrid(np.arange(wd), np.arange(ht))
+    x1 = (x0 + dx).reshape(-1)
+    y1 = (y0 + dy).reshape(-1)
+    dxf = dx.reshape(-1)
+    dyf = dy.reshape(-1)
+    valid = (x1 > 0) & (x1 < wd) & (y1 > 0) & (y1 < ht)
+    x1, y1, dxf, dyf = x1[valid], y1[valid], dxf[valid], dyf[valid]
+    flow_x = interpolate.griddata(
+        (x1, y1), dxf, (x0, y0), method="nearest", fill_value=0
+    )
+    flow_y = interpolate.griddata(
+        (x1, y1), dyf, (x0, y0), method="nearest", fill_value=0
+    )
+    return np.stack([flow_x, flow_y], axis=0).astype(np.float32)
+
+
 def context_upsample(disp_low: jax.Array, up_weights: jax.Array) -> jax.Array:
     """Superpixel (convex 3×3 combination) upsampling of a low-res disparity.
 
