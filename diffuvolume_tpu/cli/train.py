@@ -30,6 +30,16 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="DiffuVolume-TPU training")
     p.add_argument("--model", default="acvnet_ddim", help="model registry name")
     p.add_argument("--maxdisp", type=int, default=192)
+    p.add_argument(
+        "--recipe", choices=["sceneflow", "kitti12", "kitti15"], default=None,
+        help="training recipe (loss weights / optimizer / schedule); "
+        "default inferred from --model.  sceneflow: Adam + milestone decay + "
+        "[.5,.5,.7,1] (SceneFlow/main.py); kitti12: same optimizer family, "
+        "6-head weights [...,1.3] (KITTI12/main.py:70,100); kitti15: AdamW + "
+        "OneCycle + grad-clip 1.0 + sequence loss (KITTI15/train_stereo.py:64-70)",
+    )
+    p.add_argument("--iters", type=int, default=22, help="IGEV train GRU iterations")
+    p.add_argument("--wdecay", type=float, default=1e-5, help="AdamW weight decay (kitti15)")
     p.add_argument("--dataset", default="sceneflow")
     p.add_argument("--datapath", required=True)
     p.add_argument("--trainlist", default=None)
@@ -93,12 +103,37 @@ def main(argv=None):
     print(f"dataset: {len(dataset)} samples, {steps_per_epoch} steps/epoch")
 
     model = build_model(args.model, max_disp=args.maxdisp)
-    schedule = milestone_lr_schedule(args.lr, args.lrepochs, steps_per_epoch)
-    optimizer = optax.adam(schedule)
+    recipe = args.recipe
+    if recipe is None:
+        recipe = ("kitti15" if "igev" in args.model
+                  else "kitti12" if "pcw" in args.model or "gwc" in args.model
+                  else "sceneflow")
 
     sample = dataset[0]
     h, w = sample["disp_gt"].shape
-    state = create_train_state(model, jax.random.PRNGKey(args.seed), (1, h, w), optimizer)
+    if recipe == "kitti15":
+        from diffuvolume_tpu.train.loop import create_igev_train_state, make_igev_train_step
+        from diffuvolume_tpu.train.lr import one_cycle_schedule
+
+        schedule = one_cycle_schedule(args.lr, args.epochs * steps_per_epoch)
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(schedule, weight_decay=args.wdecay, eps=1e-8),
+        )
+        state = create_igev_train_state(
+            model, jax.random.PRNGKey(args.seed), (1, h, w), optimizer
+        )
+        train_step = make_igev_train_step(model, optimizer, iters=args.iters)
+    else:
+        from diffuvolume_tpu.train.loss import KITTI12_WEIGHTS, SCENEFLOW_WEIGHTS
+
+        weights = KITTI12_WEIGHTS if recipe == "kitti12" else SCENEFLOW_WEIGHTS
+        schedule = milestone_lr_schedule(args.lr, args.lrepochs, steps_per_epoch)
+        optimizer = optax.adam(schedule)
+        state = create_train_state(
+            model, jax.random.PRNGKey(args.seed), (1, h, w), optimizer
+        )
+        train_step = make_train_step(model, optimizer, weights=weights)
 
     start_epoch = 0
     if args.resume and latest_step(args.logdir) is not None:
@@ -119,15 +154,16 @@ def main(argv=None):
     mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
     bsh, repl = batch_sharding(mesh), replicated_sharding(mesh)
     state = jax.device_put(state, repl)
-    step_fn = jax.jit(
-        make_train_step(model, optimizer),
-        in_shardings=(repl, {"left": bsh, "right": bsh, "disp_gt": bsh}, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
+    # Inputs arrive pre-sharded (prefetch_to_device puts batches with ``bsh``);
+    # the replicated state is donated so optimizer updates reuse its buffers.
+    step_fn = jax.jit(train_step, out_shardings=(repl, repl), donate_argnums=(0,))
 
     # Optional frozen baseline for the per-epoch two-model eval.
     eval_on = args.eval_freq > 0
+    if eval_on and recipe != "sceneflow":
+        print("note: per-epoch DDIM eval currently wires the ACV pipeline; "
+              "use cli.evaluate for the other backbones")
+        eval_on = False
     if eval_on:
         from diffuvolume_tpu.cli.evaluate import load_variables
 

@@ -60,6 +60,20 @@ def create_train_state(model, rng, sample_shape, optimizer) -> TrainState:
     )
 
 
+def create_igev_train_state(model, rng, sample_shape, optimizer) -> TrainState:
+    """Initialize the IGEV recipe's state (init takes raw images only)."""
+    b, h, w = sample_shape
+    left = jnp.zeros((b, h, w, 3))
+    variables = model.init(rng, left, left, train=True)
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
 def make_train_step(
     model, optimizer: optax.GradientTransformation, weights=SCENEFLOW_WEIGHTS
 ) -> Callable:

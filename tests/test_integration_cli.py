@@ -81,3 +81,22 @@ def test_evaluate_cli_random_init(synthetic_sceneflow, capsys, monkeypatch):
     ])
     out = capsys.readouterr().out
     assert "FINAL:" in out and "EPE" in out
+
+
+def test_train_cli_kitti15_recipe(synthetic_sceneflow, tmp_path, monkeypatch):
+    """IGEV recipe dispatch: AdamW+OneCycle+sequence loss end-to-end."""
+    from diffuvolume_tpu.cli import train as train_cli
+    from diffuvolume_tpu.data import sceneflow as sf
+
+    monkeypatch.setattr(sf.SceneFlowDataset, "TRAIN_CROP", (64, 96))
+    logdir = str(tmp_path / "ckpts_igev")
+    train_cli.main([
+        "--datapath", synthetic_sceneflow,
+        "--model", "igev_ddim", "--maxdisp", "64",
+        "--batch_size", "2", "--epochs", "1", "--iters", "2",
+        "--lr", "2e-4", "--num_workers", "2",
+        "--logdir", logdir,
+    ])
+    from diffuvolume_tpu.train.checkpoint import latest_step
+
+    assert latest_step(logdir) == 2
