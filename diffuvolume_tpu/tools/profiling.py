@@ -53,14 +53,32 @@ class StageReport:
         return out
 
 
-def time_stage(fn: Callable, *args, iters: int = 5, warmup: int = 1, **kw) -> float:
-    """Median wall-clock ms with device sync."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kw))
+def time_stage(
+    fn: Callable, *args, iters: int = 5, warmup: int = 1, vary: bool = True, **kw
+) -> float:
+    """Median wall-clock ms with device sync.
+
+    ``vary=True`` perturbs the first float-array argument per iteration.  This
+    matters on remote-execution backends (this container's axon relay), which
+    CACHE identical (executable, args) executions — timing the same call
+    repeatedly measures the cache, not the chip.
+    """
+    import jax.numpy as jnp
+
+    def call(i):
+        if vary and args and hasattr(args[0], "dtype") and jnp.issubdtype(
+            args[0].dtype, jnp.floating
+        ):
+            a0 = args[0] + jnp.asarray(i * 1e-6, args[0].dtype)
+            return fn(a0, *args[1:], **kw)
+        return fn(*args, **kw)
+
+    for i in range(warmup):
+        jax.block_until_ready(call(-1 - i))
     times = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kw))
+        jax.block_until_ready(call(i))
         times.append((time.perf_counter() - t0) * 1e3)
     times.sort()
     return times[len(times) // 2]
