@@ -55,12 +55,46 @@ _ACTS = {
 }
 
 
+def _pallas_conv3d_enabled() -> bool:
+    """Use the Pallas packed conv3d on the TPU inference path.
+
+    Opt-in with DIFFU_PALLAS_CONV3D=1.  Measured on v5e at (48,128,240):
+    the packed kernel reaches parity with XLA's conv3d (both ~5 ms for C=32) —
+    XLA is im2col-HBM-bound, the kernel is VPU-copy-bound on its 27 shifted
+    operand views — so it stays opt-in until the tap shifts can stream without
+    materializing (e.g. lane-rolled layouts or manual DMA).  CPU/GPU always
+    use the XLA conv (the kernel is Mosaic-only; tests exercise it via
+    interpret mode).
+    """
+    import os
+
+    return (
+        os.environ.get("DIFFU_PALLAS_CONV3D", "0") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
+class _ConvKernel(nn.Module):
+    """Parameter holder producing the same ``conv/kernel`` tree as nn.Conv."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_conv_init(self.shape[:-2]), self.shape)
+
+
 class ConvBN(nn.Module):
     """Conv (2D or 3D by input rank) + optional BatchNorm + optional activation.
 
     Matches the reference's convbn/convbn_3d blocks (SceneFlow/models/
     submodule.py:83-102): no conv bias when BN is used, torch padding rule
     ``padding = dilation if dilation > 1 else pad``.
+
+    On TPU, eligible 3D convolutions (3×3×3, stride 1, pad 1, no dilation or
+    groups, C ∈ {32, 64, 128}, D divisible by 128//C) run through the Pallas
+    lane-packed kernel (ops/pallas/conv3d.py) at inference; training keeps the
+    XLA conv for autodiff.  Parameter trees are identical either way.
     """
 
     features: int
@@ -83,18 +117,48 @@ class ConvBN(nn.Module):
         p = _tuplify(self.padding, ndim)
         d = _tuplify(self.dilation, ndim)
         bias = (not self.use_bn) if self.use_bias is None else self.use_bias
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=k,
-            strides=s,
-            padding=[(pi, pi) for pi in p],
-            kernel_dilation=d,
-            feature_group_count=self.groups,
-            use_bias=bias,
-            kernel_init=torch_conv_init(k),
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        c_in = x.shape[-1]
+        pallas_ok = (
+            ndim == 3
+            and not bias
+            and k == (3, 3, 3)
+            and s == (1, 1, 1)
+            and p == (1, 1, 1)
+            and d == (1, 1, 1)
+            and self.groups == 1
+            and c_in in (32, 64, 128)
+            and x.shape[1] % (128 // c_in) == 0
+        )
+        if pallas_ok:
+            # Same param tree as nn.Conv; execution path chosen at trace time.
+            kernel = _ConvKernel((*k, c_in, self.features), name="conv")()
+            if not train and _pallas_conv3d_enabled():
+                from diffuvolume_tpu.ops.pallas.conv3d import conv3d_packed
+
+                x = conv3d_packed(
+                    x.astype(self.dtype), kernel.astype(self.dtype), relu=False
+                )
+            else:
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    kernel.astype(self.dtype),
+                    (1, 1, 1),
+                    [(1, 1)] * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                )
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=k,
+                strides=s,
+                padding=[(pi, pi) for pi in p],
+                kernel_dilation=d,
+                feature_group_count=self.groups,
+                use_bias=bias,
+                kernel_init=torch_conv_init(k),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.use_bn:
             if self.norm == "gn":
                 # convgn/convgn_3d(_group): GroupNorm(4, C) (submodule.py:105-126).

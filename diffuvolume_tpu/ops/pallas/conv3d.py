@@ -1,0 +1,179 @@
+"""Pallas packed 3×3×3 convolution for small-channel 4D cost volumes.
+
+Why: XLA's TPU lowering of ``conv3d`` materializes the im2col patches in HBM
+(measured ~2.5 GB traffic and ~2 TF/s for a C=32 conv at (48,128,240) on
+v5e — ~18× off speed-of-light), and a C=32 contraction uses 32/128 MXU lanes
+on both operands.  These convolutions are the dominant cost of the DiffuVolume
+aggregation networks (SceneFlow/models/acv_ddim.py:452-455 hourglasses run
+once per DDIM step).
+
+Design (TPU-first, not a translation):
+  * **Lane packing**: the volume is repacked ``(B, D, H, W, C) →
+    (B, D/P, H, W, P·C=128)`` with ``P = 128//C`` so both matmul operand minor
+    dims are full 128 lanes.
+  * **D-halos without overlapping blocks**: each program reads the packed
+    cells ``d-1, d, d+1`` (three BlockSpecs over the same array).  The 27
+    conv taps fold into a **block-banded weight matrix** per relative cell:
+    for output phase ``φo`` and tap ``dz``, the providing (cell ``a``, phase
+    ``φi``) satisfies ``P·a + φi = φo + dz - 1``; all other weight blocks are
+    zero.  No lane slicing, no shifted copies of the input.
+  * **Flat-shift taps**: H and W carry +1 halos and outputs are computed in
+    *padded* coordinates, so every (dy, dx) tap is a contiguous row-offset
+    slice ``flat[dy·Wp + dx :][:M]`` of one flattened ``(rows, 128)`` window —
+    no per-tap reshapes.  Row wrap-around only contaminates the padded output
+    columns, which are dropped on the host.
+  * **Fused epilogue**: bias-add (tiled across phases) and ReLU run on the
+    f32 accumulator in VMEM; inference BatchNorm can be folded by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _pack(x: jax.Array, p: int) -> jax.Array:
+    """(B, D, H, W, C) → (B, D/p, H, W, p·C)."""
+    b, d, h, w, c = x.shape
+    return x.reshape(b, d // p, p, h, w, c).transpose(0, 1, 3, 4, 2, 5).reshape(
+        b, d // p, h, w, p * c
+    )
+
+
+def _banded_weights(k3: jax.Array, p: int) -> jax.Array:
+    """(3,3,3,C,Co) → (3 cells, 3, 3, p·C, p·Co) block-banded matrix.
+
+    ``out[a, dy, dx, φi·C+ci, φo·Co+co] = k3[dz, dy, dx, ci, co]`` where
+    ``φo + dz - 1 = p·(a-1) + φi``.
+    """
+    c, co = k3.shape[3], k3.shape[4]
+    out = jnp.zeros((3, 3, 3, p * c, p * co), k3.dtype)
+    for phi_o in range(p):
+        for dz in range(3):
+            rel = phi_o + dz - 1
+            a, phi_i = (0, p - 1) if rel == -1 else (2, 0) if rel == p else (1, rel)
+            out = out.at[
+                a, :, :, phi_i * c : (phi_i + 1) * c, phi_o * co : (phi_o + 1) * co
+            ].add(k3[dz])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "tile_h", "interpret"))
+def conv3d_packed(
+    x: jax.Array,
+    k3: jax.Array,
+    bias: jax.Array | None = None,
+    relu: bool = False,
+    tile_h: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """3×3×3 stride-1 pad-1 conv over ``(B, D, H, W, C)``, channels-last.
+
+    Numerically equal to ``lax.conv_general_dilated(..., NDHWC)`` with an f32
+    accumulator; optional fused bias + ReLU.
+
+    Requirements: ``C ∈ {32, 64, 128}``, ``D % (128//C) == 0``.
+    """
+    b, d, h, w, c = x.shape
+    co = k3.shape[-1]
+    assert k3.shape[:4] == (3, 3, 3, c), k3.shape
+    p = 128 // c
+    assert c * p == 128 and d % p == 0, (c, d)
+    n_lanes = p * co
+    th = tile_h
+    n_tiles = -(-h // th)
+    wp = w + 2
+    cells = d // p
+
+    pk = _pack(x, p)
+    # D: +1 pad cell each side (the conv's zero slices); H: one zero tile each
+    # side (halo rows for the first/last output tiles) + round up to tiles;
+    # W: +1 halo column each side.
+    pk = jnp.pad(
+        pk,
+        ((0, 0), (1, 1), (th, th + n_tiles * th - h), (1, 1), (0, 0)),
+    )
+
+    wb = _banded_weights(k3, p).astype(x.dtype)
+    if bias is None:
+        bias = jnp.zeros((co,), jnp.float32)
+    b_tiled = jnp.tile(bias.astype(jnp.float32), (p,))[None]  # (1, p·Co)
+
+    grid = (b, cells, n_tiles)
+    # Each program needs a (th+2)-row window, which spans two adjacent th-row
+    # blocks; Pallas blocks cannot overlap, so the same array is passed 9×
+    # (3 relative cells × 3 relative h-tiles) and the window is concatenated
+    # in-kernel from 1 + th + 1 rows.  Output tile hi lives at padded tile
+    # hi+1, so its h-tile refs are padded tiles hi, hi+1, hi+2.
+    def cell_spec(dc, dh):
+        return pl.BlockSpec(
+            (1, 1, th, wp, 128),
+            functools.partial(
+                lambda bi, di, hi, dc, dh: (bi, di + dc, hi + dh, 0, 0), dc=dc, dh=dh
+            ),
+        )
+
+    in_specs = [cell_spec(dc, dh) for dc in range(3) for dh in range(3)]
+    in_specs.append(pl.BlockSpec((3, 3, 3, 128, n_lanes), lambda bi, di, hi: (0,) * 5))
+    in_specs.append(pl.BlockSpec((1, n_lanes), lambda bi, di, hi: (0, 0)))
+
+    def body(*args):
+        *xs, w_ref, b_ref, o_ref = args
+        _kernel3(xs, w_ref, b_ref, o_ref, th=th, wp=wp, n_lanes=n_lanes, relu=relu)
+
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th, wp, n_lanes), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cells, n_tiles * th, wp, n_lanes), x.dtype
+        ),
+        interpret=interpret,
+    )(*[pk] * 9, wb, b_tiled)
+
+    # Out (y, x) is the conv centered at padded (y+1, x+1): cols 0..w-1 are the
+    # real output; cols w, w+1 absorbed the flat-shift wrap-around — drop them.
+    out = out[:, :, :h, :w]
+    # unpack (B, D/p, H, W, p·Co) → (B, D, H, W, Co)
+    return (
+        out.reshape(b, cells, h, w, p, co)
+        .transpose(0, 1, 4, 2, 3, 5)
+        .reshape(b, d, h, w, co)
+    )
+
+
+def _kernel3(xs, w_ref, b_ref, o_ref, *, th, wp, n_lanes, relu):
+    """xs = 9 refs: (cell −1,0,+1) × (h-tile −1, 0, +1), blocks (1,1,th,wp,128).
+
+    The (th+2)-row window for (cell a, output tile) is the last row of the
+    previous h-tile block, the current block, and the first row of the next —
+    one concat per cell, then 9 contiguous flat-shift matmuls.
+    """
+    m = th * wp
+    acc = jnp.zeros((m, n_lanes), jnp.float32)
+    for a in range(3):
+        prev, cur, nxt = xs[3 * a], xs[3 * a + 1], xs[3 * a + 2]
+        # th+3 rows: 1 halo above, th rows, 2 below (the extra row feeds the
+        # flat-shift wrap of the two dropped output columns).
+        win = jnp.concatenate(
+            [prev[0, 0, th - 1 : th], cur[0, 0], nxt[0, 0, 0:2]], axis=0
+        )  # (th+3, wp, 128)
+        flat = win.reshape((th + 3) * wp, win.shape[-1])
+        for dy in range(3):
+            for dx in range(3):
+                shift = dy * wp + dx
+                acc += jnp.dot(
+                    flat[shift : shift + m],
+                    w_ref[a, dy, dx],
+                    preferred_element_type=jnp.float32,
+                )
+    acc += b_ref[0].astype(jnp.float32)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    o_ref[0, 0] = acc.reshape(th, wp, n_lanes).astype(o_ref.dtype)

@@ -1,0 +1,73 @@
+"""Pallas packed conv3d: interpret-mode oracle tests (the TPU path is the
+same kernel; on-device parity is asserted in the TPU bench harness)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffuvolume_tpu.ops.pallas.conv3d import _banded_weights, conv3d_packed
+
+RNG = np.random.default_rng(3)
+
+
+def _oracle(x, k, b):
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    )
+    return y + b
+
+
+@pytest.mark.parametrize(
+    "c,co,d,h,w",
+    [
+        (32, 32, 8, 16, 20),
+        (64, 32, 8, 16, 20),
+        (64, 64, 4, 16, 12),
+        (128, 128, 2, 8, 12),
+        (32, 32, 8, 13, 20),  # H not a tile multiple
+        (32, 16, 4, 8, 12),  # Co < C
+    ],
+)
+def test_conv3d_packed_matches_xla(c, co, d, h, w):
+    x = jnp.asarray(RNG.standard_normal((2, d, h, w, c)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((3, 3, 3, c, co)).astype(np.float32)) * 0.05
+    b = jnp.asarray(RNG.standard_normal((co,)).astype(np.float32))
+    ref = np.asarray(_oracle(x, k, b))
+    got = np.asarray(conv3d_packed(x, k, b, relu=False, tile_h=8, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    got_r = np.asarray(conv3d_packed(x, k, b, relu=True, tile_h=8, interpret=True))
+    np.testing.assert_allclose(got_r, np.maximum(ref, 0), rtol=1e-4, atol=1e-4)
+
+
+def test_banded_weights_total_mass():
+    """Every tap lands in exactly one (cell, φi) block per output phase."""
+    k = jnp.asarray(RNG.standard_normal((3, 3, 3, 32, 32)).astype(np.float32))
+    wb = _banded_weights(k, 4)
+    assert wb.shape == (3, 3, 3, 128, 128)
+    # sum over cells and input phases recovers each output phase's 3 dz taps
+    total = np.asarray(wb).sum(axis=(0,))  # (3,3,128,128)
+    for phi_o in range(4):
+        blk = total[:, :, :, phi_o * 32 : (phi_o + 1) * 32]  # (3,3,128,32)
+        np.testing.assert_allclose(
+            blk.reshape(3, 3, 4, 32, 32).sum(axis=2),
+            np.asarray(k).sum(axis=0),
+            atol=1e-5,
+        )
+
+
+def test_convbn_param_tree_unchanged_by_pallas_branch():
+    """The _ConvKernel holder produces the same tree as nn.Conv, so eligible
+    and ineligible convs checkpoint identically."""
+    from diffuvolume_tpu.models.layers import ConvBN
+
+    x3 = jnp.zeros((1, 8, 16, 16, 32))
+    mod = ConvBN(32, 3, 1, 1)  # eligible → holder path
+    v = mod.init(jax.random.PRNGKey(0), x3, train=False)
+    assert set(v["params"]) == {"conv", "bn"}
+    assert v["params"]["conv"]["kernel"].shape == (3, 3, 3, 32, 32)
+    x3b = jnp.zeros((1, 8, 16, 16, 48))  # C=48 → nn.Conv path
+    mod2 = ConvBN(32, 3, 1, 1)
+    v2 = mod2.init(jax.random.PRNGKey(0), x3b, train=False)
+    assert set(v2["params"]) == {"conv", "bn"}
+    assert v2["params"]["conv"]["kernel"].shape == (3, 3, 3, 48, 32)
