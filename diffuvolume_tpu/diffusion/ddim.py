@@ -105,6 +105,11 @@ def ddim_sample(
     Returns:
       ``(final_disp (B,H,W), step_disps (steps, B, H, W))``.
     """
+    # The diffusion algebra runs in f32 regardless of the backbone dtype; a
+    # bf16 backbone otherwise makes the scan carry dtype-mismatch against the
+    # f32 denoise outputs.
+    baseline_disp = baseline_disp.astype(jnp.float32)
+    baseline_latent = baseline_latent.astype(jnp.float32)
     b, d, h4, w4 = baseline_latent.shape
     coefs = sched_lib.ddim_step_coefficients(
         sched.num_timesteps, cfg.sampling_steps, cfg.eta
