@@ -226,11 +226,21 @@ class ACVNet(nn.Module):
             noisy = (noisy / self.scale + 1.0) / 2.0
             ac_volume = ac_volume * noisy[..., None]
 
+        if not train:
+            # Eval uses the fused Pallas head (acv.py:255-260 semantics, f32
+            # parity ~1e-4) — never materializes the 192×H×W probability
+            # volume, same as the DDIM denoise path.
+            from diffuvolume_tpu.ops.pallas.fused_head import fused_upsample_softargmin
+
+            _, _, out2 = self._aggregate(ac_volume, train)
+            cost = self.classif2_1(self.classif2_0(out2, train))[..., 0]
+            pred2, _ = fused_upsample_softargmin(
+                cost.astype(jnp.float32), self.max_disp, out_hw
+            )
+            return [pred2]
+
         cost0, out1, out2 = self._aggregate(ac_volume, train)
         pred2, _ = self._head(self.classif2_0, self.classif2_1, out2, out_hw, train)
-
-        if not train:
-            return [pred2]
 
         pred_att, _ = upsample_cost_and_regress(
             att_weights[..., 0], self.max_disp, out_hw
