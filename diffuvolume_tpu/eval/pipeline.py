@@ -198,7 +198,8 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int):
 
         def denoise_fn(latent, t):
             disp_ups = igev_rollout(
-                ddim_model, ddim_vars, enc, pyramid, iters, noisy=latent, t=t
+                ddim_model, ddim_vars, enc, pyramid, iters, noisy=latent, t=t,
+                test_mode=True,
             )
             disp = disp_ups[-1]
             # KITTI15 renewal has no uncertainty term (use_uncertainty=False).

@@ -283,40 +283,73 @@ def igev_rollout(
     noisy: jax.Array | None = None,
     t: jax.Array | None = None,
     train: bool = False,
+    test_mode: bool = False,
 ) -> jax.Array:
     """The GRU refinement loop as a ``lax.scan`` (igev_stereo_ddim.py:438-457).
 
     The loop state is (quarter-res disparity, GRU hidden states); BatchNorms
     inside the loop run frozen (matching the reference recipe's freeze_bn,
     train_stereo.py:142,198-201).  When ``noisy``/``t`` are given, the
-    DiffuVolume latent modulates the GEV lookups (geometry_ddim.py:56).
+    DiffuVolume latent modulates the GEV lookups (geometry_ddim.py:56); the
+    modulated pyramid is premultiplied ONCE here — it is loop-invariant, and
+    hoisting it out of the scan saves a ~46 MB broadcast-multiply + pyramid
+    pool per iteration.
 
-    Returns stacked full-res disparities ``(iters, B, H, W)``.
+    ``test_mode=True`` matches the reference's eval loop
+    (igev_stereo_ddim.py:452-454: ``if test_mode and itr < iters-1:
+    continue``): only the final iterate is superpixel-upsampled to full
+    resolution, so the returned stack has length 1.
+
+    Returns stacked full-res disparities ``(iters or 1, B, H, W)``.
     """
-    from diffuvolume_tpu.models.igev.geometry import geo_lookup
+    from diffuvolume_tpu.models.igev.geometry import _avgpool_last2, geo_lookup
 
     b, h4, w4 = enc["init_disp"].shape
     coords = jnp.broadcast_to(
         jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4)
     )
-    noise_mod = None
     if noisy is not None:
         method = IGEVStereo.embed_noise_train if train else IGEVStereo.embed_noise
         noise_mod = model.apply(variables, noisy, t, method=method)
+        # Premultiply each pyramid level with its pooled noise (identical to
+        # the per-lookup multiply in geo_lookup, applied per level).
+        nl = jnp.moveaxis(noise_mod, 1, 3)[..., None]  # (B, H, W, D, 1)
+        geo_levels = []
+        for g in pyramid.geo_levels:
+            geo_levels.append(g * nl)
+            nl = _avgpool_last2(nl)
+        pyramid = pyramid._replace(geo_levels=tuple(geo_levels))
 
-    def step(carry, _):
-        disp, net_list = carry
-        geo = geo_lookup(pyramid, disp, coords, noise_mod, model.corr_radius)
+    def core(disp, net_list):
+        geo = geo_lookup(pyramid, disp, coords, None, model.corr_radius)
         net_list, mask_feat, delta = model.apply(
             variables, net_list, enc["inp_list"], geo, disp[..., None],
             method=IGEVStereo.update,
         )
-        disp = disp + delta[..., 0]
-        up = model.apply(
+        return disp + delta[..., 0], net_list, mask_feat
+
+    def upsample(disp, mask_feat):
+        return model.apply(
             variables, disp, mask_feat, enc["stem_2x"], False,
             method=IGEVStereo.upsample,
         )
-        return (disp, net_list), up
+
+    if test_mode:
+        def step(carry, _):
+            disp, net_list = carry
+            disp, net_list, _ = core(disp, net_list)
+            return (disp, net_list), None
+
+        (disp, net_list), _ = jax.lax.scan(
+            step, (enc["init_disp"], enc["net_list"]), None, length=iters - 1
+        )
+        disp, _, mask_feat = core(disp, net_list)
+        return upsample(disp, mask_feat)[None]
+
+    def step(carry, _):
+        disp, net_list = carry
+        disp, net_list, mask_feat = core(disp, net_list)
+        return (disp, net_list), upsample(disp, mask_feat)
 
     (_, _), disp_ups = jax.lax.scan(
         step, (enc["init_disp"], enc["net_list"]), None, length=iters
@@ -360,7 +393,9 @@ def igev_forward(
     new_batch_stats|None)``; test_mode: final ``(B, H, W)`` disparity.
     """
     enc, pyramid = igev_encode(model, variables, left, right, train, rngs)
-    disp_ups = igev_rollout(model, variables, enc, pyramid, iters, noisy, t, train)
+    disp_ups = igev_rollout(
+        model, variables, enc, pyramid, iters, noisy, t, train, test_mode
+    )
 
     if test_mode:
         return disp_ups[-1]
