@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from diffuvolume_tpu.ops.sampling import linear_sample_1d
+from diffuvolume_tpu.ops.sampling import hat_sample_last2
 
 
 class GeoPyramid(NamedTuple):
@@ -110,11 +110,11 @@ def geo_lookup(
         scale = 1.0 / (2**i)
         x0 = disp[..., None] * scale + dx  # (B, H, W, 2r+1)
         g = geo * noisy_lvl if noisy_lvl is not None else geo
-        g_samp = linear_sample_1d(g, x0)  # (B, H, W, 2r+1, C)
+        g_samp = hat_sample_last2(g, x0)  # (B, H, W, 2r+1, C)
         out.append(g_samp.reshape(b, h, w, -1))
 
         cx0 = (coords[..., None] - disp[..., None]) * scale + dx
-        c_samp = linear_sample_1d(corr, cx0)  # (B, H, W, 2r+1, 1)
+        c_samp = hat_sample_last2(corr, cx0)  # (B, H, W, 2r+1, 1)
         out.append(c_samp.reshape(b, h, w, -1))
         if noisy_lvl is not None:
             noisy_lvl = _avgpool_last2(noisy_lvl)

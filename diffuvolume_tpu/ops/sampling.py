@@ -46,6 +46,29 @@ def linear_sample_1d(values: jax.Array, coords: jax.Array, zero_pad: bool = True
     return out
 
 
+def hat_sample_last2(vol: jax.Array, x0: jax.Array) -> jax.Array:
+    """Linear sampling along the second-to-last axis via a hat-weight einsum.
+
+    Numerically identical to ``linear_sample_1d(vol, x0, zero_pad=True)`` —
+    the hat kernel ``max(0, 1-|x-d|)`` reproduces the per-tap zero-padding at
+    the edges — but expressed as a dense contraction instead of a gather.
+    On TPU, per-pixel ``take_along_axis`` gathers run ~100× off the VPU rate
+    (measured 27 ms/GRU-iteration in the IGEV lookup); the einsum form is a
+    regular batched matmul XLA can tile.
+
+    Args:
+      vol: ``(B, H, W, D, C)``.
+      x0: ``(B, H, W, J)`` sample positions in ``[0, D-1]`` (out of range → 0).
+
+    Returns:
+      ``(B, H, W, J, C)``.
+    """
+    d = vol.shape[-2]
+    bins = jnp.arange(d, dtype=x0.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(x0[..., None] - bins))  # (B,H,W,J,D)
+    return jnp.einsum("bhwjd,bhwdc->bhwjc", w, vol.astype(w.dtype))
+
+
 def stereo_bilinear_sample(volume: jax.Array, x_coords: jax.Array) -> jax.Array:
     """Sample a per-pixel 1-D signal at fractional disparity coordinates.
 

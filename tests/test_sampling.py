@@ -72,3 +72,19 @@ def test_context_upsample_matches_torch():
     unf = torch.nn.functional.interpolate(unf, (h * 4, w * 4), mode="nearest")
     ref = (unf * torch.from_numpy(wts)).sum(1).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_hat_sample_last2_equals_linear_sample():
+    """The gather-free hat-einsum sampler is exactly linear_sample_1d with
+    zero padding (the hat kernel reproduces per-tap edge zeroing)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from diffuvolume_tpu.ops.sampling import hat_sample_last2, linear_sample_1d
+
+    rng = np.random.default_rng(11)
+    vol = jnp.asarray(rng.standard_normal((2, 3, 5, 17, 4)).astype(np.float32))
+    x0 = jnp.asarray(rng.uniform(-3, 20, (2, 3, 5, 9)).astype(np.float32))
+    a = np.asarray(hat_sample_last2(vol, x0))
+    b = np.asarray(linear_sample_1d(vol, x0, zero_pad=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
