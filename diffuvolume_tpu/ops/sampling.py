@@ -66,6 +66,14 @@ def hat_sample_last2(vol: jax.Array, x0: jax.Array) -> jax.Array:
     d = vol.shape[-2]
     bins = jnp.arange(d, dtype=x0.dtype)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(x0[..., None] - bins))  # (B,H,W,J,D)
+    if vol.dtype == jnp.bfloat16:
+        # bf16 operands halve the dominant weight-tensor traffic; accumulate
+        # f32.  (Consumers of these lookup features are bf16 convs anyway.)
+        out = jnp.einsum(
+            "bhwjd,bhwdc->bhwjc", w.astype(jnp.bfloat16), vol,
+            preferred_element_type=jnp.float32,
+        )
+        return out
     return jnp.einsum("bhwjd,bhwdc->bhwjc", w, vol.astype(w.dtype))
 
 
