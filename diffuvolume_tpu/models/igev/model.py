@@ -262,7 +262,7 @@ class IGEVStereo(nn.Module):
             noisy = jnp.zeros((b, self.max_disp // 4, h4, w4))
             noise_mod = self.embed_noise(noisy, jnp.zeros((b,), jnp.int32))
         geo = geo_lookup(pyramid, enc["init_disp"], coords, noise_mod,
-                         self.corr_radius)
+                         self.corr_radius, concat=False)
         _, mask_feat, delta = self.update(
             enc["net_list"], enc["inp_list"], geo, enc["init_disp"][..., None]
         )
@@ -321,7 +321,8 @@ def igev_rollout(
         pyramid = pyramid._replace(geo_levels=tuple(geo_levels))
 
     def core(disp, net_list):
-        geo = geo_lookup(pyramid, disp, coords, None, model.corr_radius)
+        geo = geo_lookup(pyramid, disp, coords, None, model.corr_radius,
+                         concat=False)
         net_list, mask_feat, delta = model.apply(
             variables, net_list, enc["inp_list"], geo, disp[..., None],
             method=IGEVStereo.update,

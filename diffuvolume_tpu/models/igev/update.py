@@ -28,18 +28,50 @@ def interp_to(x: jax.Array, ref: jax.Array) -> jax.Array:
     return resize_bilinear(x, (ref.shape[1], ref.shape[2]), 1, 2, align_corners=True)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's {kernel, bias} tree."""
+
+    features: int
+    k: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (*self.k, c_in, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class ConvGRU(nn.Module):
-    """Gated conv recurrence with context biases (update.py:26-42)."""
+    """Gated conv recurrence with context biases (update.py:26-42).
+
+    The z and r gates consume the identical ``[h, x]`` input, so their two
+    convolutions run as ONE conv with output-concatenated kernels — the input
+    window is read once instead of twice and the MXU sees 2×hidden output
+    lanes per pass.  The parameter tree stays nn.Conv-compatible
+    (``convz/{kernel,bias}``, ``convr/{kernel,bias}``) for the torch
+    converter.
+    """
 
     hidden_dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, cz, cr, cq, *x_list):
+        hd, dt = self.hidden_dim, self.dtype
         x = jnp.concatenate(x_list, axis=-1)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(_conv(self.hidden_dim, 3, "convz", self.dtype)(hx) + cz)
-        r = jax.nn.sigmoid(_conv(self.hidden_dim, 3, "convr", self.dtype)(hx) + cr)
+        kz, bz = _ConvParams(hd, name="convz")(hx.shape[-1])
+        kr, br = _ConvParams(hd, name="convr")(hx.shape[-1])
+        kzr = jnp.concatenate([kz, kr], axis=-1).astype(dt)
+        bzr = jnp.concatenate([bz, br], axis=-1).astype(dt)
+        zr = jax.lax.conv_general_dilated(
+            hx.astype(dt), kzr, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bzr
+        z = jax.nn.sigmoid(zr[..., :hd] + cz)
+        r = jax.nn.sigmoid(zr[..., hd:] + cr)
         q = jnp.tanh(
             _conv(self.hidden_dim, 3, "convq", self.dtype)(
                 jnp.concatenate([r * h, x], axis=-1)
@@ -62,14 +94,35 @@ class DispHead(nn.Module):
 
 
 class BasicMotionEncoder(nn.Module):
-    """corr+disp → 128-ch motion feature (update.py:75-93)."""
+    """corr+disp → 128-ch motion feature (update.py:75-93).
+
+    ``corr`` is either the concatenated ``(B, H, W, corr_planes)`` lookup
+    feature or the tuple of raw ``(B, H, W, J, C)`` pieces from
+    ``geo_lookup(..., concat=False)``.  In pieces form the 1×1 ``convc1`` is
+    applied as per-piece (J, C) contractions against row-blocks of its kernel
+    — numerically identical to conv-after-concat, but each hat-sampling
+    einsum output feeds an MXU matmul in its native taps/channels-minor
+    layout with no relayout copy.  Parameter tree matches nn.Conv.
+    """
 
     corr_planes: int  # corr_levels * (2*radius+1) * (8+1)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, disp, corr):
-        cor = jax.nn.relu(_conv(64, 1, "convc1", self.dtype)(corr))
+        dt = self.dtype
+        kc1, bc1 = _ConvParams(64, (1, 1), name="convc1")(self.corr_planes)
+        if not isinstance(corr, (tuple, list)):
+            corr = (corr.reshape(*corr.shape[:-1], 1, corr.shape[-1]),)
+        off, acc = 0, None
+        for piece in corr:
+            j, c = piece.shape[-2:]
+            blk = kc1[0, 0, off : off + j * c].reshape(j, c, 64).astype(dt)
+            y = jnp.einsum("bhwjc,jco->bhwo", piece.astype(dt), blk)
+            acc = y if acc is None else acc + y
+            off += j * c
+        assert off == self.corr_planes, (off, self.corr_planes)
+        cor = jax.nn.relu(acc + bc1.astype(dt))
         cor = jax.nn.relu(_conv(64, 3, "convc2", self.dtype)(cor))
         dsp = jax.nn.relu(_conv(64, 7, "convd1", self.dtype)(disp))
         dsp = jax.nn.relu(_conv(64, 3, "convd2", self.dtype)(dsp))

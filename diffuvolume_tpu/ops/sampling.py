@@ -67,13 +67,13 @@ def hat_sample_last2(vol: jax.Array, x0: jax.Array) -> jax.Array:
     bins = jnp.arange(d, dtype=x0.dtype)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(x0[..., None] - bins))  # (B,H,W,J,D)
     if vol.dtype == jnp.bfloat16:
-        # bf16 operands halve the dominant weight-tensor traffic; accumulate
-        # f32.  (Consumers of these lookup features are bf16 convs anyway.)
-        out = jnp.einsum(
-            "bhwjd,bhwdc->bhwjc", w.astype(jnp.bfloat16), vol,
-            preferred_element_type=jnp.float32,
-        )
-        return out
+        # All-bf16 contraction: the hat row has only two nonzero taps, so bf16
+        # accumulation adds no error (MXU paths f32-accumulate internally
+        # regardless).  Requesting an f32 result here makes XLA materialize an
+        # f32 COPY of the whole volume in HBM every GRU iteration (seen in the
+        # device trace as convert fusions feeding the C=1 corr contraction) —
+        # native bf16 in/out keeps the scan-resident arrays half-width.
+        return jnp.einsum("bhwjd,bhwdc->bhwjc", w.astype(jnp.bfloat16), vol)
     return jnp.einsum("bhwjd,bhwdc->bhwjc", w, vol.astype(w.dtype))
 
 

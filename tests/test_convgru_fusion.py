@@ -1,0 +1,72 @@
+"""ConvGRU's fused z/r conv must equal the two-conv formulation exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffuvolume_tpu.models.igev.update import ConvGRU
+
+
+def _unfused_reference(params, h, cz, cr, cq, x):
+    """The literal two-conv GRU (reference KITTI15/core/update.py:26-42)."""
+
+    def conv(p, inp):
+        y = jax.lax.conv_general_dilated(
+            inp, p["kernel"], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + p["bias"]
+
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(conv(params["convz"], hx) + cz)
+    r = jax.nn.sigmoid(conv(params["convr"], hx) + cr)
+    q = jnp.tanh(conv(params["convq"], jnp.concatenate([r * h, x], axis=-1)) + cq)
+    return (1 - z) * h + z * q
+
+
+def test_fused_matches_unfused():
+    rng = np.random.RandomState(0)
+    b, hh, ww, hd = 2, 6, 10, 16
+    h = jnp.asarray(rng.randn(b, hh, ww, hd), jnp.float32)
+    cz, cr, cq = (jnp.asarray(rng.randn(b, hh, ww, hd), jnp.float32) for _ in range(3))
+    x = jnp.asarray(rng.randn(b, hh, ww, 24), jnp.float32)
+
+    gru = ConvGRU(hidden_dim=hd)
+    variables = gru.init(jax.random.PRNGKey(0), h, cz, cr, cq, x)
+    got = gru.apply(variables, h, cz, cr, cq, x)
+    want = _unfused_reference(variables["params"], h, cz, cr, cq, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_param_tree_nnconv_compatible():
+    gru = ConvGRU(hidden_dim=8)
+    z = jnp.zeros((1, 4, 4, 8))
+    x = jnp.zeros((1, 4, 4, 12))
+    variables = gru.init(jax.random.PRNGKey(0), z, z, z, z, x)
+    p = variables["params"]
+    assert set(p) == {"convz", "convr", "convq"}
+    for name in ("convz", "convr"):
+        assert p[name]["kernel"].shape == (3, 3, 20, 8)
+        assert p[name]["bias"].shape == (8,)
+    assert p["convq"]["kernel"].shape == (3, 3, 20, 8)
+
+
+def test_motion_encoder_pieces_match_concat():
+    """Split (J,C)-contraction convc1 == 1x1 conv on the concatenated feature."""
+    from diffuvolume_tpu.models.igev.update import BasicMotionEncoder
+
+    rng = np.random.RandomState(2)
+    b, hh, ww = 1, 5, 7
+    pieces = tuple(
+        jnp.asarray(rng.randn(b, hh, ww, j, c), jnp.float32)
+        for j, c in ((9, 8), (9, 1), (9, 8), (9, 1))
+    )
+    planes = sum(p.shape[-2] * p.shape[-1] for p in pieces)
+    disp = jnp.asarray(rng.randn(b, hh, ww, 1), jnp.float32)
+
+    enc = BasicMotionEncoder(corr_planes=planes)
+    variables = enc.init(jax.random.PRNGKey(0), disp, pieces)
+    got = enc.apply(variables, disp, pieces)
+    flat = jnp.concatenate([p.reshape(b, hh, ww, -1) for p in pieces], axis=-1)
+    want = enc.apply(variables, disp, flat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
