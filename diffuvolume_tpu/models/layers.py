@@ -55,6 +55,19 @@ _ACTS = {
 }
 
 
+def _conv3d_2d_enabled() -> bool:
+    """Route 3-D convolutions through per-depth-tap 2-D convs (ops/conv3d_2d).
+
+    Opt-in with DIFFU_CONV3D_2D=1 while the v5e measurement is pending: XLA's
+    conv3d lowering im2col-materializes patches in HBM (~12x off MXU SOL at
+    the aggregation shapes), whereas the 2-D emitter streams; the decomposed
+    form pays KD dispatches + a shifted add instead.
+    """
+    import os
+
+    return os.environ.get("DIFFU_CONV3D_2D", "0") == "1"
+
+
 def _pallas_conv3d_enabled() -> bool:
     """Use the Pallas packed conv3d on the TPU inference path.
 
@@ -138,6 +151,13 @@ class ConvBN(nn.Module):
                 x = conv3d_packed(
                     x.astype(self.dtype), kernel.astype(self.dtype), relu=False
                 )
+            elif _conv3d_2d_enabled():
+                from diffuvolume_tpu.ops.conv3d_2d import conv3d_via_2d
+
+                x = conv3d_via_2d(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    (1, 1, 1), (1, 1, 1), (1, 1, 1), 1,
+                )
             else:
                 x = jax.lax.conv_general_dilated(
                     x.astype(self.dtype),
@@ -146,6 +166,15 @@ class ConvBN(nn.Module):
                     [(1, 1)] * 3,
                     dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 )
+        elif ndim == 3 and _conv3d_2d_enabled() and not bias:
+            from diffuvolume_tpu.ops.conv3d_2d import conv3d_via_2d
+
+            kernel = _ConvKernel((*k, c_in // self.groups, self.features),
+                                 name="conv")()
+            x = conv3d_via_2d(
+                x.astype(self.dtype), kernel.astype(self.dtype), s, p, d,
+                self.groups,
+            )
         else:
             x = nn.Conv(
                 features=self.features,

@@ -59,3 +59,24 @@ def test_grad_matches():
     gb = jax.grad(loss_b, (0, 1))(x, k)
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_convbn_env_route_matches(monkeypatch):
+    """ConvBN with DIFFU_CONV3D_2D=1 must equal the default XLA conv3d path
+    for both the 3x3x3/s1/p1 hot shape and a strided aggregation shape."""
+    from diffuvolume_tpu.models.layers import ConvBN
+
+    rng = np.random.RandomState(2)
+    for kwargs, shape in [
+        (dict(features=8, kernel_size=3, stride=1, padding=1), (1, 8, 6, 10, 32)),
+        (dict(features=8, kernel_size=3, stride=2, padding=1), (1, 8, 6, 10, 4)),
+    ]:
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        m = ConvBN(use_bn=True, act="relu", **kwargs)
+        monkeypatch.delenv("DIFFU_CONV3D_2D", raising=False)
+        v = m.init(jax.random.PRNGKey(0), x)
+        want = m.apply(v, x)
+        monkeypatch.setenv("DIFFU_CONV3D_2D", "1")
+        got = m.apply(v, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
