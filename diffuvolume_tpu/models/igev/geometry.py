@@ -19,6 +19,7 @@ implemented instead.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -28,10 +29,21 @@ from diffuvolume_tpu.ops.sampling import hat_sample_last2
 
 
 class GeoPyramid(NamedTuple):
-    """Precomputed lookup pyramids (levels along the disparity axis)."""
+    """Precomputed lookup pyramids (levels along the disparity axis).
 
-    geo_levels: tuple[jax.Array, ...]   # each (B, H, W, D/2^i, C)
-    corr_levels: tuple[jax.Array, ...]  # each (B, H, W, W2/2^i)
+    Two interchangeable correlation representations (exactly equal outputs):
+    ``corr_levels`` holds the materialized all-pairs correlation per level
+    (VPU hat-contraction at lookup time), while ``match_l``/``match_r_levels``
+    hold the raw descriptors (DIFFU_CORR_RSAMP=1): the lookup then hat-samples
+    the pooled right descriptors (an MXU matmul over the scanline) and dots
+    with the left descriptor — avg-pooling correlation over v equals
+    correlating with the avg-pooled right descriptors, by linearity.
+    """
+
+    geo_levels: tuple[jax.Array, ...]   # (level 0 only) (B, H, W, D, C)
+    corr_levels: tuple[jax.Array, ...]  # each (B, H, W, W2/2^i, 1); () in rsamp mode
+    match_l: jax.Array | None = None          # (B, H, W, C) [rsamp mode]
+    match_r_levels: tuple[jax.Array, ...] = ()  # each (B, H, W2/2^i, C) [rsamp mode]
 
 
 def all_pairs_correlation(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
@@ -58,8 +70,16 @@ def build_geo_pyramid(
     match_right: jax.Array,
     geo_volume: jax.Array,
     num_levels: int = 2,
+    corr_mode: str | None = None,
 ) -> GeoPyramid:
     """Precompute the GEV + correlation pyramids (geometry_ddim.py:7-31).
+
+    The geo "pyramid" holds only the level-0 volume: pooled-level samples are
+    re-expressed at lookup time as coarsened hat weights on the level-0 bin
+    axis (see ``geo_lookup``), so the avg-pooled geo copies are never built.
+    The correlation pyramid is still materialized per level (its axis is the
+    full image width; one dense pass per level is cheaper than widening the
+    level-0 contraction).
 
     Args:
       match_left/right: ``(B, H, W, C)`` descriptors.
@@ -67,14 +87,29 @@ def build_geo_pyramid(
       num_levels: pyramid depth (2 in the reference).
     """
     geo = jnp.moveaxis(geo_volume, 1, 3)  # (B, H, W, D, C)
+    if corr_mode is None:
+        corr_mode = "rsamp" if os.environ.get("DIFFU_CORR_RSAMP") else "volume"
+    if corr_mode == "rsamp":
+        r_levels = [match_right]
+        for _ in range(num_levels - 1):
+            r = r_levels[-1]
+            v = r.shape[2] // 2
+            r_levels.append(
+                r[:, :, : 2 * v].reshape(r.shape[0], r.shape[1], v, 2, r.shape[3]).mean(3)
+            )
+        return GeoPyramid(
+            geo_levels=(geo,),
+            corr_levels=(),
+            match_l=match_left,
+            match_r_levels=tuple(r_levels),
+        )
     corr = all_pairs_correlation(match_left, match_right)[..., None]  # (B,H,W,W2,1)
-    geo_levels, corr_levels = [geo], [corr]
+    corr_levels = [corr]
     for _ in range(num_levels - 1):
-        geo_levels.append(_avgpool_last2(geo_levels[-1]))
         corr_levels.append(_avgpool_last2(corr_levels[-1]))
     return GeoPyramid(
-        geo_levels=tuple(geo_levels),
-        corr_levels=tuple(c[..., 0:1] for c in corr_levels),
+        geo_levels=(geo,),
+        corr_levels=tuple(corr_levels),
     )
 
 
@@ -110,19 +145,67 @@ def geo_lookup(
       reference config), channels-last; or the tuple of pieces.
     """
     b, h, w = disp.shape
+    num_levels = len(pyramid.corr_levels) or len(pyramid.match_r_levels)
+    j = 2 * radius + 1
     dx = jnp.arange(-radius, radius + 1, dtype=disp.dtype)
-    out = []
-    noisy_lvl = jnp.moveaxis(noisy, 1, 3)[..., None] if noisy is not None else None  # (B,H,W,D,1)
-    for i, (geo, corr) in enumerate(zip(pyramid.geo_levels, pyramid.corr_levels)):
-        scale = 1.0 / (2**i)
-        x0 = disp[..., None] * scale + dx  # (B, H, W, 2r+1)
-        g = geo * noisy_lvl if noisy_lvl is not None else geo
-        out.append(hat_sample_last2(g, x0))  # (B, H, W, 2r+1, C)
 
-        cx0 = (coords[..., None] - disp[..., None]) * scale + dx
-        out.append(hat_sample_last2(corr, cx0))  # (B, H, W, 2r+1, 1)
-        if noisy_lvl is not None:
-            noisy_lvl = _avgpool_last2(noisy_lvl)
+    geo = pyramid.geo_levels[0]  # (B, H, W, D, C)
+    if noisy is not None:
+        geo = geo * jnp.moveaxis(noisy, 1, 3)[..., None]
+    d = geo.shape[-2]
+    assert d % (2 ** (num_levels - 1)) == 0, (d, num_levels)
+    bins = jnp.arange(d, dtype=disp.dtype)
+
+    # All pyramid levels as ONE contraction over the level-0 volume: sampling
+    # the 2^i-avg-pooled volume at x_i = disp/2^i + dx is, by linearity of the
+    # pooling, identical to contracting the level-0 bins with the coarsened
+    # hat  max(0, 1 - |x_i - floor(d/2^i)|) / 2^i.  One pass over the volume
+    # instead of one per level, and the pooled copies (whose D=24 minor dim
+    # lane-pads 128/24 = 5.3x on TPU) never exist.
+    wparts = []
+    for i in range(num_levels):
+        scale = 1.0 / (2 ** i)
+        x0 = disp[..., None] * scale + dx  # (B, H, W, J)
+        bins_i = jnp.floor(bins * scale)
+        wparts.append(
+            jnp.maximum(0.0, 1.0 - jnp.abs(x0[..., None] - bins_i)) * scale
+        )
+    wgt = jnp.concatenate(wparts, axis=-2)  # (B, H, W, L*J, D)
+    if geo.dtype == jnp.bfloat16:
+        # Two nonzero taps per row: bf16 accumulation adds no error (see
+        # ops/sampling.py::hat_sample_last2 for the layout rationale).
+        wgt = wgt.astype(jnp.bfloat16)
+    else:
+        geo = geo.astype(wgt.dtype)
+    geo_out = jnp.einsum("bhwjd,bhwdc->bhwjc", wgt, geo)  # (B,H,W,L*J,C)
+
+    out = []
+    if pyramid.corr_levels:
+        for i, corr in enumerate(pyramid.corr_levels):
+            scale = 1.0 / (2 ** i)
+            out.append(geo_out[..., i * j : (i + 1) * j, :])
+            cx0 = (coords[..., None] - disp[..., None]) * scale + dx
+            out.append(hat_sample_last2(corr, cx0))  # (B, H, W, 2r+1, 1)
+    else:
+        # rsamp mode: corr[p, v] = <L[p], R[b, h, v]> is never materialized.
+        # Hat-sample the (pooled) right descriptors along the scanline — a
+        # per-row MXU matmul (M=W·J, K=W2/2^i, N=C) whose hat operand XLA
+        # generates inside the dot fusion — then dot with the left descriptor.
+        ml = pyramid.match_l
+        for i, r2 in enumerate(pyramid.match_r_levels):
+            scale = 1.0 / (2 ** i)
+            out.append(geo_out[..., i * j : (i + 1) * j, :])
+            cx0 = (coords[..., None] - disp[..., None]) * scale + dx  # (B,H,W,J)
+            v = r2.shape[2]
+            binsv = jnp.arange(v, dtype=cx0.dtype)
+            wv = jnp.maximum(0.0, 1.0 - jnp.abs(cx0[..., None] - binsv))
+            if r2.dtype == jnp.bfloat16:
+                wv = wv.astype(jnp.bfloat16)
+            else:
+                r2 = r2.astype(wv.dtype)
+            rs = jnp.einsum("bhwjv,bhvc->bhwjc", wv, r2)
+            cr = jnp.einsum("bhwjc,bhwc->bhwj", rs, ml.astype(rs.dtype))
+            out.append(cr[..., None])  # (B, H, W, J, 1)
     if concat:
         return jnp.concatenate([o.reshape(b, h, w, -1) for o in out], axis=-1)
     return tuple(out)

@@ -302,7 +302,7 @@ def igev_rollout(
 
     Returns stacked full-res disparities ``(iters or 1, B, H, W)``.
     """
-    from diffuvolume_tpu.models.igev.geometry import _avgpool_last2, geo_lookup
+    from diffuvolume_tpu.models.igev.geometry import geo_lookup
 
     b, h4, w4 = enc["init_disp"].shape
     coords = jnp.broadcast_to(
@@ -311,14 +311,11 @@ def igev_rollout(
     if noisy is not None:
         method = IGEVStereo.embed_noise_train if train else IGEVStereo.embed_noise
         noise_mod = model.apply(variables, noisy, t, method=method)
-        # Premultiply each pyramid level with its pooled noise (identical to
-        # the per-lookup multiply in geo_lookup, applied per level).
+        # Premultiply the level-0 volume with the noise (identical to the
+        # per-lookup multiply in geo_lookup; pooled levels are re-expressed as
+        # level-0 weights inside geo_lookup, so level 0 is all there is).
         nl = jnp.moveaxis(noise_mod, 1, 3)[..., None]  # (B, H, W, D, 1)
-        geo_levels = []
-        for g in pyramid.geo_levels:
-            geo_levels.append(g * nl)
-            nl = _avgpool_last2(nl)
-        pyramid = pyramid._replace(geo_levels=tuple(geo_levels))
+        pyramid = pyramid._replace(geo_levels=(pyramid.geo_levels[0] * nl,))
 
     def core(disp, net_list):
         geo = geo_lookup(pyramid, disp, coords, None, model.corr_radius,

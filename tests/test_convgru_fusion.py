@@ -70,3 +70,70 @@ def test_motion_encoder_pieces_match_concat():
     flat = jnp.concatenate([p.reshape(b, hh, ww, -1) for p in pieces], axis=-1)
     want = enc.apply(variables, disp, flat)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_disp_head_tap_decomposition_matches_conv():
+    """conv2 as (1x1 matmul -> 9 shift-adds) == the literal 3x3 conv 256->1."""
+    from diffuvolume_tpu.models.igev.update import DispHead
+
+    rng = np.random.RandomState(3)
+    b, hh, ww, hd = 1, 6, 9, 16
+    x = jnp.asarray(rng.randn(b, hh, ww, hd), jnp.float32)
+    head = DispHead(hidden_dim=hd)
+    variables = head.init(jax.random.PRNGKey(0), x)
+    got = head.apply(variables, x)
+
+    p = variables["params"]
+    y = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            x, p["conv1"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + p["conv1"]["bias"]
+    )
+    want = (
+        jax.lax.conv_general_dilated(
+            y, p["conv2"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + p["conv2"]["bias"]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_motion_encoder_convd1_unfold_matches_conv():
+    """convd1 as (unfold-49 -> 1x1 matmul) == the literal 7x7 conv 1->64."""
+    from diffuvolume_tpu.models.igev.update import BasicMotionEncoder
+
+    rng = np.random.RandomState(4)
+    b, hh, ww = 1, 8, 11
+    pieces = tuple(
+        jnp.asarray(rng.randn(b, hh, ww, j, c), jnp.float32)
+        for j, c in ((9, 8), (9, 1), (9, 8), (9, 1))
+    )
+    planes = sum(p.shape[-2] * p.shape[-1] for p in pieces)
+    disp = jnp.asarray(rng.randn(b, hh, ww, 1), jnp.float32)
+    enc = BasicMotionEncoder(corr_planes=planes)
+    variables = enc.init(jax.random.PRNGKey(1), disp, pieces)
+    got = enc.apply(variables, disp, pieces)
+
+    # Oracle: recompute the whole encoder with convd1 as a literal conv.
+    p = variables["params"]
+
+    def conv(pp, inp, pad):
+        return (
+            jax.lax.conv_general_dilated(
+                inp, pp["kernel"], (1, 1), [(pad, pad)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + pp["bias"]
+        )
+
+    flat = jnp.concatenate([q.reshape(b, hh, ww, -1) for q in pieces], axis=-1)
+    cor = jax.nn.relu(conv(p["convc1"], flat, 0))
+    cor = jax.nn.relu(conv(p["convc2"], cor, 1))
+    dsp = jax.nn.relu(conv(p["convd1"], disp, 3))
+    dsp = jax.nn.relu(conv(p["convd2"], dsp, 1))
+    out = jax.nn.relu(conv(p["conv"], jnp.concatenate([cor, dsp], axis=-1), 1))
+    want = jnp.concatenate([out, disp], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

@@ -41,9 +41,10 @@ def test_geo_lookup_shapes_and_window():
     mr = jnp.asarray(rng.standard_normal((b, h, w, 16)).astype(np.float32))
     gev = jnp.asarray(rng.standard_normal((b, d, h, w, c)).astype(np.float32))
     pyr = build_geo_pyramid(ml, mr, gev, num_levels=2)
+    assert pyr.geo_levels == (pyr.geo_levels[0],)  # only level 0 materialized
     assert pyr.geo_levels[0].shape == (b, h, w, d, c)
-    assert pyr.geo_levels[1].shape == (b, h, w, d // 2, c)
     assert pyr.corr_levels[0].shape == (b, h, w, w, 1)
+    assert pyr.corr_levels[1].shape == (b, h, w, w // 2, 1)
 
     disp = jnp.full((b, h, w), 2.0)
     coords = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, h, w))
@@ -55,6 +56,34 @@ def test_geo_lookup_shapes_and_window():
     ones = jnp.ones((b, d, h, w))
     out2 = geo_lookup(pyr, disp, coords, noisy=ones, radius=4)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-5)
+
+
+def test_geo_lookup_combined_levels_match_pooled_reference():
+    """The single level-0 contraction == pool-then-hat-sample per level."""
+    from diffuvolume_tpu.models.igev.geometry import _avgpool_last2
+    from diffuvolume_tpu.ops.sampling import hat_sample_last2
+
+    rng = np.random.default_rng(7)
+    b, h, w, d, c = 2, 4, 8, 16, 8
+    radius = 4
+    ml = jnp.asarray(rng.standard_normal((b, h, w, 16)).astype(np.float32))
+    mr = jnp.asarray(rng.standard_normal((b, h, w, 16)).astype(np.float32))
+    gev = jnp.asarray(rng.standard_normal((b, d, h, w, c)).astype(np.float32))
+    noisy = jnp.asarray(rng.uniform(0.1, 1.0, (b, d, h, w)).astype(np.float32))
+    pyr = build_geo_pyramid(ml, mr, gev, num_levels=2)
+    # Disparities straddling bins, including out-of-range edges.
+    disp = jnp.asarray(rng.uniform(-2.0, d + 1.0, (b, h, w)).astype(np.float32))
+    coords = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, h, w))
+
+    pieces = geo_lookup(pyr, disp, coords, noisy=noisy, radius=radius, concat=False)
+    dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    geo0 = jnp.moveaxis(gev, 1, 3) * jnp.moveaxis(noisy, 1, 3)[..., None]
+    want0 = hat_sample_last2(geo0, disp[..., None] + dx)
+    want1 = hat_sample_last2(_avgpool_last2(geo0), disp[..., None] * 0.5 + dx)
+    np.testing.assert_allclose(np.asarray(pieces[0]), np.asarray(want0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pieces[2]), np.asarray(want1),
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.fixture(scope="module")
@@ -145,3 +174,23 @@ def test_igev_ddim_pipeline(igev_and_vars):
     )
     assert final.shape == (B, H, W)
     assert np.isfinite(np.asarray(final)).all()
+
+
+def test_geo_lookup_rsamp_matches_corr_volume():
+    """Descriptor-resampling corr lookup == materialized-corr-volume lookup."""
+    rng = np.random.default_rng(11)
+    b, h, w, d, c = 2, 4, 10, 16, 8
+    ml = jnp.asarray(rng.standard_normal((b, h, w, 12)).astype(np.float32))
+    mr = jnp.asarray(rng.standard_normal((b, h, w, 12)).astype(np.float32))
+    gev = jnp.asarray(rng.standard_normal((b, d, h, w, c)).astype(np.float32))
+    disp = jnp.asarray(rng.uniform(0.0, w, (b, h, w)).astype(np.float32))
+    coords = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, h, w))
+
+    pyr_v = build_geo_pyramid(ml, mr, gev, num_levels=2, corr_mode="volume")
+    pyr_r = build_geo_pyramid(ml, mr, gev, num_levels=2, corr_mode="rsamp")
+    assert pyr_r.corr_levels == ()
+    assert pyr_r.match_r_levels[1].shape == (b, h, w // 2, 12)
+    out_v = geo_lookup(pyr_v, disp, coords, radius=4)
+    out_r = geo_lookup(pyr_r, disp, coords, radius=4)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_v),
+                               rtol=1e-4, atol=1e-4)
