@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -162,15 +163,21 @@ def geo_lookup(
     # hat  max(0, 1 - |x_i - floor(d/2^i)|) / 2^i.  One pass over the volume
     # instead of one per level, and the pooled copies (whose D=24 minor dim
     # lane-pads 128/24 = 5.3x on TPU) never exist.
-    wparts = []
-    for i in range(num_levels):
-        scale = 1.0 / (2 ** i)
-        x0 = disp[..., None] * scale + dx  # (B, H, W, J)
-        bins_i = jnp.floor(bins * scale)
-        wparts.append(
-            jnp.maximum(0.0, 1.0 - jnp.abs(x0[..., None] - bins_i)) * scale
-        )
-    wgt = jnp.concatenate(wparts, axis=-2)  # (B, H, W, L*J, D)
+    #
+    # The weights MUST stay one elementwise expression of `disp` (constants
+    # broadcast per (level, tap)) — a jnp.concatenate of per-level parts
+    # defeats XLA's operand fusion into the dot and materializes the
+    # (B,H,W,L*J,D) tensor in HBM (measured +330 us/GRU-iter at 384x1248).
+    scale_vec = jnp.repeat(
+        2.0 ** -jnp.arange(num_levels, dtype=disp.dtype), j
+    )  # (L*J,)
+    dx_all = jnp.tile(dx, num_levels)  # (L*J,)
+    x0_all = disp[..., None] * scale_vec + dx_all  # (B, H, W, L*J)
+    bins_all = jnp.floor(bins[None, :] * scale_vec[:, None])  # (L*J, D)
+    wgt = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(x0_all[..., None] - bins_all))
+        * scale_vec[:, None]
+    )
     if geo.dtype == jnp.bfloat16:
         # Two nonzero taps per row: bf16 accumulation adds no error (see
         # ops/sampling.py::hat_sample_last2 for the layout rationale).
@@ -179,13 +186,12 @@ def geo_lookup(
         geo = geo.astype(wgt.dtype)
     geo_out = jnp.einsum("bhwjd,bhwdc->bhwjc", wgt, geo)  # (B,H,W,L*J,C)
 
-    out = []
+    corr_out = []
     if pyramid.corr_levels:
         for i, corr in enumerate(pyramid.corr_levels):
             scale = 1.0 / (2 ** i)
-            out.append(geo_out[..., i * j : (i + 1) * j, :])
             cx0 = (coords[..., None] - disp[..., None]) * scale + dx
-            out.append(hat_sample_last2(corr, cx0))  # (B, H, W, 2r+1, 1)
+            corr_out.append(hat_sample_last2(corr, cx0))  # (B, H, W, 2r+1, 1)
     else:
         # rsamp mode: corr[p, v] = <L[p], R[b, h, v]> is never materialized.
         # Hat-sample the (pooled) right descriptors along the scanline — a
@@ -194,7 +200,6 @@ def geo_lookup(
         ml = pyramid.match_l
         for i, r2 in enumerate(pyramid.match_r_levels):
             scale = 1.0 / (2 ** i)
-            out.append(geo_out[..., i * j : (i + 1) * j, :])
             cx0 = (coords[..., None] - disp[..., None]) * scale + dx  # (B,H,W,J)
             v = r2.shape[2]
             binsv = jnp.arange(v, dtype=cx0.dtype)
@@ -205,7 +210,28 @@ def geo_lookup(
                 r2 = r2.astype(wv.dtype)
             rs = jnp.einsum("bhwjv,bhvc->bhwjc", wv, r2)
             cr = jnp.einsum("bhwjc,bhwc->bhwj", rs, ml.astype(rs.dtype))
-            out.append(cr[..., None])  # (B, H, W, J, 1)
+            corr_out.append(cr[..., None])  # (B, H, W, J, 1)
+
     if concat:
+        # Canonical 162-channel order: [geo_0, corr_0, geo_1, corr_1].
+        out = []
+        for i, cr in enumerate(corr_out):
+            out.append(geo_out[..., i * j : (i + 1) * j, :])
+            out.append(cr)
         return jnp.concatenate([o.reshape(b, h, w, -1) for o in out], axis=-1)
-    return tuple(out)
+
+    # Pieces form: the geo block stays WHOLE — slicing it per level makes XLA
+    # materialize the slices at the loop boundary (measured +170 us/GRU-iter);
+    # instead each piece carries the static kernel-row indices it corresponds
+    # to in the canonical concat order, and BasicMotionEncoder contracts the
+    # block against the row-gathered kernel in one einsum.
+    c_ = geo_out.shape[-1]
+    jc = j * (c_ + 1)  # channels per level in canonical order
+    geo_rows = np.concatenate(
+        [np.arange(i * jc, i * jc + j * c_) for i in range(num_levels)]
+    )
+    pieces = [(geo_out, tuple(geo_rows.tolist()))]
+    for i, cr in enumerate(corr_out):
+        rows = np.arange(i * jc + j * c_, (i + 1) * jc)
+        pieces.append((cr, tuple(rows.tolist())))
+    return tuple(pieces)

@@ -133,14 +133,27 @@ class BasicMotionEncoder(nn.Module):
         kc1, bc1 = _ConvParams(64, (1, 1), name="convc1")(self.corr_planes)
         if not isinstance(corr, (tuple, list)):
             corr = (corr.reshape(*corr.shape[:-1], 1, corr.shape[-1]),)
-        off, acc = 0, None
+        off, total, acc = 0, 0, None
         for piece in corr:
+            # A piece is either a bare (B,H,W,J,C) array (sequential kernel
+            # rows) or an (array, rows) pair carrying the static row indices
+            # of its channels in the canonical concat order (geo_lookup's
+            # pieces form keeps the multi-level geo block whole).
+            rows = None
+            if isinstance(piece, (tuple, list)):
+                piece, rows = piece
             j, c = piece.shape[-2:]
-            blk = kc1[0, 0, off : off + j * c].reshape(j, c, 64).astype(dt)
+            if rows is None:
+                blk = kc1[0, 0, off : off + j * c]
+                off += j * c
+            else:
+                assert len(rows) == j * c, (len(rows), j, c)
+                blk = kc1[0, 0, jnp.asarray(rows)]
+            blk = blk.reshape(j, c, 64).astype(dt)
             y = jnp.einsum("bhwjc,jco->bhwo", piece.astype(dt), blk)
             acc = y if acc is None else acc + y
-            off += j * c
-        assert off == self.corr_planes, (off, self.corr_planes)
+            total += j * c
+        assert total == self.corr_planes, (total, self.corr_planes)
         cor = jax.nn.relu(acc + bc1.astype(dt))
         cor = jax.nn.relu(_conv(64, 3, "convc2", self.dtype)(cor))
         # convd1 (7×7, 1→64): a 1-input-channel conv wastes 127/128 MXU input

@@ -80,10 +80,23 @@ def test_geo_lookup_combined_levels_match_pooled_reference():
     geo0 = jnp.moveaxis(gev, 1, 3) * jnp.moveaxis(noisy, 1, 3)[..., None]
     want0 = hat_sample_last2(geo0, disp[..., None] + dx)
     want1 = hat_sample_last2(_avgpool_last2(geo0), disp[..., None] * 0.5 + dx)
-    np.testing.assert_allclose(np.asarray(pieces[0]), np.asarray(want0),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(pieces[2]), np.asarray(want1),
-                               rtol=1e-5, atol=1e-5)
+    geo_block, geo_rows = pieces[0]
+    jtap = 2 * radius + 1
+    np.testing.assert_allclose(np.asarray(geo_block[..., :jtap, :]),
+                               np.asarray(want0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(geo_block[..., jtap:, :]),
+                               np.asarray(want1), rtol=1e-5, atol=1e-5)
+    # Canonical order [geo_0 (J*C), corr_0 (J), geo_1 (J*C), corr_1 (J)]:
+    jc = jtap * (c + 1)
+    assert geo_rows == tuple(range(jtap * c)) + tuple(range(jc, jc + jtap * c))
+    assert pieces[1][1] == tuple(range(jtap * c, jc))
+    # The concat form interleaves identically to the flattened pieces.
+    flat = geo_lookup(pyr, disp, coords, noisy=noisy, radius=radius, concat=True)
+    b_, h_, w_ = disp.shape
+    rebuilt = np.zeros((b_, h_, w_, 2 * jc), np.float32)
+    for arr, rows in pieces:
+        rebuilt[..., list(rows)] = np.asarray(arr).reshape(b_, h_, w_, -1)
+    np.testing.assert_allclose(rebuilt, np.asarray(flat), rtol=1e-5, atol=1e-5)
 
 
 @pytest.fixture(scope="module")
