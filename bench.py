@@ -32,12 +32,18 @@ def main():
     ddim_model = ACVNet(max_disp=192, diffusion=True, dtype=dtype)
 
     # Init at a small spatial size (params are shape-independent), run at full.
+    # Params are built on host CPU (eager init through the TPU relay costs
+    # minutes of per-op remote compiles) and transferred once.
+    from diffuvolume_tpu.utils.hostinit import init_on_cpu
+
     left_s = jnp.zeros((1, 64, 128, 3))
-    baseline_vars = baseline_model.init(rng, left_s, left_s, train=False)
+    baseline_vars = init_on_cpu(baseline_model.init, rng, left_s, left_s, train=False)
     disp_q = jnp.zeros((1, 16, 32))
     t = jnp.zeros((1,), jnp.int32)
     noise = jnp.zeros((1, 48, 16, 32))
-    ddim_vars = ddim_model.init(rng, left_s, left_s, disp_q, t, noise, train=True)
+    ddim_vars = init_on_cpu(
+        ddim_model.init, rng, left_s, left_s, disp_q, t, noise, train=True
+    )
 
     left = jax.random.normal(rng, (1, H, W, 3))
     right = jax.random.normal(jax.random.fold_in(rng, 1), (1, H, W, 3))

@@ -44,9 +44,11 @@ def profile(h: int, w: int, max_disp: int = 192, iters: int = 10,
     bm = ACVNet(max_disp=max_disp, diffusion=False, dtype=dtype)
     dm = ACVNet(max_disp=max_disp, diffusion=True, dtype=dtype)
     xs = jnp.zeros((1, 64, 128, 3))
-    bv = bm.init(rng, xs, xs, train=False)
-    dv = dm.init(
-        rng, xs, xs, jnp.zeros((1, 16, 32)), jnp.zeros((1,), jnp.int32),
+    from diffuvolume_tpu.utils.hostinit import init_on_cpu
+
+    bv = init_on_cpu(bm.init, rng, xs, xs, train=False)
+    dv = init_on_cpu(
+        dm.init, rng, xs, xs, jnp.zeros((1, 16, 32)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, max_disp // 4, 16, 32)), train=True,
     )
     left = jax.random.normal(rng, (1, h, w, 3))

@@ -35,8 +35,10 @@ def main(argv=None):
     bm = IGEVStereo(max_disp=192, diffusion=False, dtype=dtype)
     dm = IGEVStereo(max_disp=192, diffusion=True, dtype=dtype)
     xs = jnp.zeros((1, 64, 128, 3))
-    bv = bm.init(rng, xs, xs, train=True)
-    dv = dm.init(rng, xs, xs, train=True)
+    from diffuvolume_tpu.utils.hostinit import init_on_cpu
+
+    bv = init_on_cpu(bm.init, rng, xs, xs, train=True)
+    dv = init_on_cpu(dm.init, rng, xs, xs, train=True)
 
     h, w = args.height, args.width
     left = jax.random.uniform(rng, (1, h, w, 3), maxval=255.0)

@@ -37,7 +37,9 @@ def main(argv=None):
     model = IGEVStereo(max_disp=192, diffusion=diffusion, dtype=dtype)
     rng = jax.random.PRNGKey(0)
     xs = jnp.zeros((1, 64, 128, 3))
-    variables = model.init(rng, xs, xs, train=True)
+    from diffuvolume_tpu.utils.hostinit import init_on_cpu
+
+    variables = init_on_cpu(model.init, rng, xs, xs, train=True)
 
     b, h, w = 1, args.height, args.width
     h4, w4 = h // 4, w // 4
