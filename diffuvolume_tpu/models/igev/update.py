@@ -43,15 +43,39 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def _conv_over_pieces(kernel, pieces, dt):
+    """conv(concat(pieces), kernel) as Σᵢ conv(pieceᵢ, kernel-sliceᵢ).
+
+    Exact by linearity of convolution in the input channels.  Each piece
+    arrives in the layout its producing conv/fusion emitted; feeding it to a
+    conv directly avoids the data-formatting copy XLA inserts to realize the
+    channel concat (device trace: ~140 µs/GRU-iter of `copy` ops at 384×1248,
+    all on concat-fed conv inputs)."""
+    off, acc = 0, None
+    for p in pieces:
+        c = p.shape[-1]
+        ks = kernel[:, :, off : off + c].astype(dt)
+        y = jax.lax.conv_general_dilated(
+            p.astype(dt), ks, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        acc = y if acc is None else acc + y
+        off += c
+    assert off == kernel.shape[2], (off, kernel.shape)
+    return acc
+
+
 class ConvGRU(nn.Module):
     """Gated conv recurrence with context biases (update.py:26-42).
 
     The z and r gates consume the identical ``[h, x]`` input, so their two
     convolutions run as ONE conv with output-concatenated kernels — the input
     window is read once instead of twice and the MXU sees 2×hidden output
-    lanes per pass.  The parameter tree stays nn.Conv-compatible
-    (``convz/{kernel,bias}``, ``convr/{kernel,bias}``) for the torch
-    converter.
+    lanes per pass.  The ``[h, x]`` / ``[r·h, x]`` channel concats are never
+    materialized: the conv is applied per concat piece with the matching
+    kernel slice (``_conv_over_pieces``).  The parameter tree stays
+    nn.Conv-compatible (``convz/{kernel,bias}``, ``convr/{kernel,bias}``,
+    ``convq/{kernel,bias}``) for the torch converter.
     """
 
     hidden_dim: int
@@ -60,23 +84,17 @@ class ConvGRU(nn.Module):
     @nn.compact
     def __call__(self, h, cz, cr, cq, *x_list):
         hd, dt = self.hidden_dim, self.dtype
-        x = jnp.concatenate(x_list, axis=-1)
-        hx = jnp.concatenate([h, x], axis=-1)
-        kz, bz = _ConvParams(hd, name="convz")(hx.shape[-1])
-        kr, br = _ConvParams(hd, name="convr")(hx.shape[-1])
-        kzr = jnp.concatenate([kz, kr], axis=-1).astype(dt)
+        c_in = h.shape[-1] + sum(x.shape[-1] for x in x_list)
+        kz, bz = _ConvParams(hd, name="convz")(c_in)
+        kr, br = _ConvParams(hd, name="convr")(c_in)
+        kq, bq = _ConvParams(hd, name="convq")(c_in)
+        kzr = jnp.concatenate([kz, kr], axis=-1)
         bzr = jnp.concatenate([bz, br], axis=-1).astype(dt)
-        zr = jax.lax.conv_general_dilated(
-            hx.astype(dt), kzr, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bzr
+        zr = _conv_over_pieces(kzr, [h, *x_list], dt) + bzr
         z = jax.nn.sigmoid(zr[..., :hd] + cz)
         r = jax.nn.sigmoid(zr[..., hd:] + cr)
         q = jnp.tanh(
-            _conv(self.hidden_dim, 3, "convq", self.dtype)(
-                jnp.concatenate([r * h, x], axis=-1)
-            )
-            + cq
+            _conv_over_pieces(kq, [r * h, *x_list], dt) + bq.astype(dt) + cq
         )
         return (1 - z) * h + z * q
 
@@ -173,8 +191,9 @@ class BasicMotionEncoder(nn.Module):
             + bd.astype(dt)
         )
         dsp = jax.nn.relu(_conv(64, 3, "convd2", self.dtype)(dsp))
+        ko, bo = _ConvParams(127, (3, 3), name="conv")(128)
         out = jax.nn.relu(
-            _conv(127, 3, "conv", self.dtype)(jnp.concatenate([cor, dsp], axis=-1))
+            _conv_over_pieces(ko, [cor, dsp], self.dtype) + bo.astype(self.dtype)
         )
         return jnp.concatenate([out, disp], axis=-1)
 

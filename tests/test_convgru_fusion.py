@@ -137,3 +137,21 @@ def test_motion_encoder_convd1_unfold_matches_conv():
     out = jax.nn.relu(conv(p["conv"], jnp.concatenate([cor, dsp], axis=-1), 1))
     want = jnp.concatenate([out, disp], axis=-1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_split_pieces_match_unfused_multi_x():
+    """conv-over-pieces (h + two x pieces) == concat+conv reference."""
+    rng = np.random.RandomState(7)
+    b, hh, ww, hd = 1, 6, 10, 16
+    h = jnp.asarray(rng.randn(b, hh, ww, hd), jnp.float32)
+    cz, cr, cq = (jnp.asarray(rng.randn(b, hh, ww, hd), jnp.float32) for _ in range(3))
+    x1 = jnp.asarray(rng.randn(b, hh, ww, 24), jnp.float32)
+    x2 = jnp.asarray(rng.randn(b, hh, ww, 16), jnp.float32)
+
+    gru = ConvGRU(hidden_dim=hd)
+    variables = gru.init(jax.random.PRNGKey(0), h, cz, cr, cq, x1, x2)
+    got = gru.apply(variables, h, cz, cr, cq, x1, x2)
+    want = _unfused_reference(
+        variables["params"], h, cz, cr, cq, jnp.concatenate([x1, x2], axis=-1)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
