@@ -5,7 +5,8 @@ One `lax.scan`-based implementation covering all three reference variants
 KITTI15/core/igev_stereo_ddim.py:294-359), parameterized by `DDIMConfig` —
 see the presets at the bottom.
 
-The backbone enters only through ``denoise_fn(latent, t) -> (disp, prob)``:
+The backbone enters only through ``denoise_fn(latent, t) -> (disp, unc,
+transformed_latent)``:
 run the full aggregation/regression head with the noise volume multiplied into
 the cost volume, and return the full-resolution disparity plus the
 full-resolution probability volume (needed for the uncertainty score; pass
@@ -72,6 +73,15 @@ class DDIMConfig:
     # SceneFlow/KITTI12 (acv_ddim.py:272), num_bins-1 for KITTI15's variant
     # (igev_stereo_ddim.py:268).
     reencode_clip_max: float | None = None
+    # Which x_t the noise inversion uses.  The reference shadows its ``noise``
+    # variable inside model_predictions: the latent is time-embedded, clamped
+    # to ±scale, and rescaled to [0,1] BEFORE predict_noise_from_start sees it
+    # (acv_ddim.py:256-258→295, pwcnet_ddim.py:468-470→... , igev_stereo_ddim.py
+    # :228-231→290) — all three variants, and the released checkpoints were
+    # trained/evaluated under it.  "transformed" reproduces that (default;
+    # requires denoise_fn to return the transformed volume as a 3rd output);
+    # "latent" is the textbook DDIM inversion from the raw latent.
+    invert_from: str = "transformed"  # "transformed" | "latent"
 
 
 def ddim_sample(
@@ -82,16 +92,20 @@ def ddim_sample(
     baseline_latent: jax.Array,
     rng: jax.Array,
     reencode_fn: Callable[[jax.Array], jax.Array] | None = None,
+    denoise_aux_init=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the short DDIM trajectory and return the ensembled disparity.
 
     Args:
       sched: precomputed diffusion schedule.
       cfg: sampler configuration.
-      denoise_fn: ``(latent (B,D,H4,W4), t (B,)) -> (disp (B,H,W), unc (B,H,W))``
-        — one full aggregation pass of the backbone with noise injection;
-        ``unc`` is the renewal uncertainty ``Σ|d-d̂|·p(d)`` (zeros when
-        ``use_uncertainty=False``).
+      denoise_fn: ``(latent (B,D,H4,W4), t (B,)) -> (disp (B,H,W), unc (B,H,W)
+        [, transformed (B,D,H4,W4)])`` — one full aggregation pass of the
+        backbone with noise injection; ``unc`` is the renewal uncertainty
+        ``Σ|d-d̂|·p(d)`` (zeros when ``use_uncertainty=False``);
+        ``transformed`` is the time-embedded [0,1]-rescaled volume the
+        backbone multiplied into its cost volume (required when
+        ``cfg.invert_from == 'transformed'``, the reference-faithful default).
       baseline_disp: ``(B, H, W)`` full-resolution prediction of the frozen
         baseline network (the conditioning / `used` input).
       baseline_latent: ``(B, D, H4, W4)`` encoded baseline volume in
@@ -101,6 +115,11 @@ def ddim_sample(
       reencode_fn: optional override mapping the step disparity ``(B,H,W)`` to
         the quarter-res bin-unit disparity used for the x_start re-encode
         (KITTI15 adds its init-disp offset here); default = clamp → ↓4 → /4.
+      denoise_aux_init: optional pytree of backbone state threaded THROUGH the
+        DDIM steps.  When given, ``denoise_fn`` is called as
+        ``denoise_fn(latent, t, aux) -> (disp, unc, transformed, new_aux)``.
+        The reference's KITTI15 eval carries its GRU coordinate state
+        (``coords1``) across DDIM steps this way (igev_stereo_ddim.py:313).
 
     Returns:
       ``(final_disp (B,H,W), step_disps (steps, B, H, W))``.
@@ -143,17 +162,33 @@ def ddim_sample(
             return resize_bilinear(disp_c, (h4, w4), h_axis=1, w_axis=2) / 4.0
 
     def step(carry, xs):
-        latent, mask, replace_src = carry
+        latent, mask, replace_src, aux = carry
         (time, time_next), sigma, c, sqrt_alpha_next, key, step_idx = xs
         k_z, k_replace = jax.random.split(key)
         t_vec = jnp.full((b,), time, dtype=jnp.int32)
 
-        disp, unc = denoise_fn(latent, t_vec)
+        if denoise_aux_init is not None:
+            out = denoise_fn(latent, t_vec, aux)
+            aux = out[3]
+        else:
+            out = denoise_fn(latent, t_vec)
+        disp, unc = out[0], out[1]
 
         x_start = encode_disparity_volume(reencode_fn(disp), cfg.num_bins, cfg.scale)
         x_start = jnp.clip(x_start, -cfg.scale, cfg.scale)
 
-        pred_noise = sched_lib.predict_noise_from_start(sched, latent, t_vec, x_start)
+        if cfg.invert_from == "transformed":
+            if len(out) < 3:
+                raise ValueError(
+                    "invert_from='transformed' needs denoise_fn to return the "
+                    "time-embedded [0,1]-rescaled volume as a 3rd output"
+                )
+            x_t = out[2].astype(jnp.float32)
+        elif cfg.invert_from == "latent":
+            x_t = latent
+        else:
+            raise ValueError(cfg.invert_from)
+        pred_noise = sched_lib.predict_noise_from_start(sched, x_t, t_vec, x_start)
 
         if cfg.renewal:
             dif = jnp.abs(disp - baseline_disp)
@@ -193,12 +228,12 @@ def ddim_sample(
             updated = jnp.where(mask[:, None] == 0, replacement, updated)
 
         new_latent = jnp.where(time_next < 0, x_start, updated)
-        return (new_latent, mask, replace_src), disp
+        return (new_latent, mask, replace_src, aux), disp
 
     init_mask = jnp.zeros((b, h4, w4), dtype=baseline_latent.dtype)
-    (_, _, _), step_disps = jax.lax.scan(
+    _, step_disps = jax.lax.scan(
         step,
-        (init_latent, init_mask, baseline_latent),
+        (init_latent, init_mask, baseline_latent, denoise_aux_init),
         (pairs, sigmas, cs, sqrt_alpha_nexts, step_keys,
          jnp.arange(cfg.sampling_steps)),
     )

@@ -166,7 +166,8 @@ def pcw_ddim_inference(
 
 
 @functools.cache
-def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int):
+def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int,
+                 quirk: bool = False):
     from diffuvolume_tpu.models.igev.model import IGEVStereo, igev_forward
 
     sched = make_schedule(1000)
@@ -180,7 +181,9 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int):
 
     @jax.jit
     def sample(ddim_vars, left, right, baseline_disp, rng):
-        from diffuvolume_tpu.models.igev.model import igev_encode, igev_rollout
+        from diffuvolume_tpu.models.igev.model import (
+            igev_encode, igev_rollout, igev_rollout_ref_eval,
+        )
 
         h4, w4 = left.shape[1] // 4, left.shape[2] // 4
         disp_q = (
@@ -196,6 +199,40 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int):
         # way, igev_stereo_ddim.py:401-427).
         enc, pyramid = igev_encode(ddim_model, ddim_vars, left, right, train=False)
 
+        def embed(latent, t):
+            # The reference inverts noise from the transformed volume
+            # (igev_stereo_ddim.py:228-231→290); same embed as inside the
+            # rollout, so XLA CSEs the duplicate.
+            return ddim_model.apply(
+                ddim_vars, latent, t, method=IGEVStereo.embed_noise
+            )
+
+        if quirk:
+            # Reference-faithful eval: residual-coords GRU state carried
+            # across DDIM steps, scrambled noise, re-encode offset by
+            # init_disp (igev_stereo_ddim.py:226-292,313).
+            init_disp = enc["init_disp"]
+
+            def denoise_fn(latent, t, coords1):
+                resid_up, c1 = igev_rollout_ref_eval(
+                    ddim_model, ddim_vars, enc, pyramid, iters, coords1,
+                    latent, t,
+                )
+                return resid_up, jnp.zeros_like(resid_up), embed(latent, t), c1
+
+            def reencode_fn(disp):
+                # clamp full-res residual to [0,47] px → ↓4 bilinear → /4 →
+                # + init_disp → clamp [0,47] (igev_stereo_ddim.py:266-276).
+                d = jnp.clip(disp, 0.0, 47.0)
+                dq = resize_bilinear(d, (h4, w4), h_axis=1, w_axis=2) / 4.0
+                return jnp.clip(dq + init_disp, 0.0, 47.0)
+
+            final, _ = ddim_sample(
+                sched, cfg, denoise_fn, baseline_disp, baseline_latent, rng,
+                reencode_fn=reencode_fn, denoise_aux_init=init_disp,
+            )
+            return final
+
         def denoise_fn(latent, t):
             disp_ups = igev_rollout(
                 ddim_model, ddim_vars, enc, pyramid, iters, noisy=latent, t=t,
@@ -203,7 +240,7 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int):
             )
             disp = disp_ups[-1]
             # KITTI15 renewal has no uncertainty term (use_uncertainty=False).
-            return disp, jnp.zeros_like(disp)
+            return disp, jnp.zeros_like(disp), embed(latent, t)
 
         final, _ = ddim_sample(
             sched, cfg, denoise_fn, baseline_disp, baseline_latent, rng
@@ -223,6 +260,7 @@ def igev_ddim_inference(
     rng: jax.Array,
     cfg: DDIMConfig | None = None,
     iters: int = 32,
+    quirk: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Two-pass DiffuVolume inference for the IGEV backbone.
 
@@ -230,11 +268,17 @@ def igev_ddim_inference(
     (32 iters) pass, then IGEVStereo_ddim DDIM-2 with the KITTI15 sampler
     variant (no uncertainty term, hard clamp to baseline, fresh q_sample
     replacement).  Inputs are RAW [0,255] images.
+
+    ``quirk=True`` evaluates with the reference's exact quirks (residual
+    coords, noise scramble — see igev_rollout_ref_eval) for released-
+    checkpoint parity; default is our cleaned-up absolute-disparity rollout.
     """
     from diffuvolume_tpu.diffusion.ddim import KITTI15_DDIM
 
     cfg = KITTI15_DDIM if cfg is None else cfg
-    baseline_pass, sample = _igev_stages(baseline_model, ddim_model, cfg, iters)
+    baseline_pass, sample = _igev_stages(
+        baseline_model, ddim_model, cfg, iters, quirk
+    )
     baseline_disp = baseline_pass(baseline_vars, left, right)
     final = sample(ddim_vars, left, right, baseline_disp, rng)
     return final, baseline_disp

@@ -151,11 +151,14 @@ class ACVNet(nn.Module):
         t: jax.Array,
         out_hw: tuple[int, int],
         train: bool = False,
-    ) -> tuple[jax.Array, jax.Array]:
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Inject the noisy latent into the volume, aggregate, regress.
 
-        Returns ``(disp (B,H,W), uncertainty (B,H,W))`` via the fused Pallas
-        head (never materializes the 192×H×W probability volume).
+        Returns ``(disp (B,H,W), uncertainty (B,H,W), transformed (B,D,H4,W4))``
+        — disp/unc via the fused Pallas head (never materializes the 192×H×W
+        probability volume); ``transformed`` is the time-embedded
+        [0,1]-rescaled noise volume, which the reference's
+        predict_noise_from_start consumes as x_t (acv_ddim.py:256-258→295).
         """
         from diffuvolume_tpu.ops.pallas.fused_head import fused_upsample_softargmin
 
@@ -165,9 +168,10 @@ class ACVNet(nn.Module):
         vol = ac_volume * noise[..., None].astype(ac_volume.dtype)
         _, _, out2 = self._aggregate(vol, train)
         cost = self.classif2_1(self.classif2_0(out2, train))[..., 0]
-        return fused_upsample_softargmin(
+        disp, unc = fused_upsample_softargmin(
             cost.astype(jnp.float32), self.max_disp, out_hw
         )
+        return disp, unc, noise.astype(jnp.float32)
 
     # ---- forwards ----
 

@@ -14,7 +14,10 @@ Noise injection: the diffusion latent multiplies the GEV before sampling
 ``noisy.reshape(batch*h1*w1, 1, 1, -1)`` on a ``(B, 48, H, W)`` tensor
 scrambles the (pixel, bin) grouping (C-order reshape mixes bins across
 pixels); here the paper's intent — per-pixel, per-bin alignment — is
-implemented instead.
+implemented instead.  For checkpoint-parity evaluation against released
+reference weights, ``fold_reference_noise`` + ``geo_lookup(noise_eff=...)``
+reproduce the reference semantics bit-faithfully (the scramble AND the
+pool-then-multiply order; see fold_reference_noise).
 """
 
 from __future__ import annotations
@@ -114,6 +117,50 @@ def build_geo_pyramid(
     )
 
 
+def fold_reference_noise(
+    noise_mod: jax.Array, num_levels: int = 2
+) -> jax.Array:
+    """Reference-faithful noise weights, expressed on level-0 bins.
+
+    Reproduces TWO reference behaviors our default path deliberately cleans
+    up (geometry_ddim.py:37-58):
+
+    1. **The reshape scramble**: ``noisy.reshape(batch*h1*w1, 1, 1, -1)`` on a
+       C-contiguous ``(B, D, H, W)`` tensor assigns pixel ``p = h*W + w`` the
+       D consecutive elements ``flat[p*D : (p+1)*D]`` of the flattened
+       ``(D, H, W)`` block — mixing bins across pixels.
+    2. **Pool-then-multiply**: the level-i sample is
+       ``Σ_k hat_i(k)·pool_i(geo)[k]·pool_i(noise)[k]`` — the noise pyramid is
+       pooled SEPARATELY from the geo pyramid, which differs from multiplying
+       at level 0 and pooling the product (cross terms
+       ``geo[2k]·noise[2k+1]``).  Because pooling is linear, the level-i term
+       rewrites exactly onto level-0 bins:
+       ``Σ_d geo[d] · hat_i(d>>i)/2^i · pool_i(noise)[d>>i]`` — so the pooled
+       noise folds into the coarsened hat weights ``geo_lookup`` already uses.
+
+    Args:
+      noise_mod: ``(B, D, H, W)`` time-embedded [0,1] noise volume.
+      num_levels: pyramid depth (2 in the reference).
+
+    Returns:
+      ``(B, H, W, L, D)`` per-level multiplicative weights on level-0 bins,
+      to be passed as ``geo_lookup(..., noise_eff=...)`` (with CLEAN geo).
+    """
+    b, d, h, w = noise_mod.shape
+    # (1) the scramble: row p of the (D·H·W)-flat block.
+    n0 = noise_mod.reshape(b, d * h * w).reshape(b, h, w, d)
+    levels = [n0]
+    for _ in range(num_levels - 1):
+        prev = levels[-1]
+        d2 = prev.shape[-1] // 2
+        levels.append(
+            prev[..., : 2 * d2].reshape(b, h, w, d2, 2).mean(-1)
+        )
+    # (2) express pooled noise on level-0 bins: eff_i[d] = pool_i(n)[d >> i].
+    eff = [jnp.repeat(lv, 2 ** i, axis=-1)[..., :d] for i, lv in enumerate(levels)]
+    return jnp.stack(eff, axis=-2)  # (B, H, W, L, D)
+
+
 def geo_lookup(
     pyramid: GeoPyramid,
     disp: jax.Array,
@@ -121,6 +168,7 @@ def geo_lookup(
     noisy: jax.Array | None = None,
     radius: int = 4,
     concat: bool = True,
+    noise_eff: jax.Array | None = None,
 ) -> jax.Array | tuple[jax.Array, ...]:
     """Sample geometry + correlation features around the current disparity.
 
@@ -140,6 +188,9 @@ def geo_lookup(
         (BasicMotionEncoder's 1×1 conv) avoid the relayout copies XLA inserts
         to feed a channels-minor concat from the matmul-native
         taps/channels-minor einsum outputs (~0.2 ms/GRU-iter on v5e).
+      noise_eff: optional ``(B, H, W, L, D)`` reference-faithful per-level
+        noise weights from ``fold_reference_noise`` — multiplied into the hat
+        weights (pass with CLEAN geo, mutually exclusive with ``noisy``).
 
     Returns:
       ``(B, H, W, num_levels*(C+1)*(2r+1))`` lookup features (162 ch for the
@@ -178,6 +229,10 @@ def geo_lookup(
         jnp.maximum(0.0, 1.0 - jnp.abs(x0_all[..., None] - bins_all))
         * scale_vec[:, None]
     )
+    if noise_eff is not None:
+        assert noisy is None, "noise_eff and noisy are mutually exclusive"
+        # (B,H,W,L,D) → broadcast each level over its J taps.
+        wgt = wgt * jnp.repeat(noise_eff.astype(wgt.dtype), j, axis=-2)
     if geo.dtype == jnp.bfloat16:
         # Two nonzero taps per row: bf16 accumulation adds no error (see
         # ops/sampling.py::hat_sample_last2 for the layout rationale).

@@ -284,6 +284,7 @@ def igev_rollout(
     t: jax.Array | None = None,
     train: bool = False,
     test_mode: bool = False,
+    noise_mode: str = "pixel",
 ) -> jax.Array:
     """The GRU refinement loop as a ``lax.scan`` (igev_stereo_ddim.py:438-457).
 
@@ -300,26 +301,40 @@ def igev_rollout(
     continue``): only the final iterate is superpixel-upsampled to full
     resolution, so the returned stack has length 1.
 
+    ``noise_mode``: "pixel" (default) is our cleaned-up per-pixel noise
+    semantics; "ref" reproduces the reference's reshape-scramble and
+    pool-then-multiply order exactly (geometry_ddim.py:37-58) for
+    checkpoint-parity evaluation — see geometry.fold_reference_noise.
+
     Returns stacked full-res disparities ``(iters or 1, B, H, W)``.
     """
-    from diffuvolume_tpu.models.igev.geometry import geo_lookup
+    from diffuvolume_tpu.models.igev.geometry import fold_reference_noise, geo_lookup
 
     b, h4, w4 = enc["init_disp"].shape
     coords = jnp.broadcast_to(
         jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4)
     )
+    noise_eff = None
     if noisy is not None:
         method = IGEVStereo.embed_noise_train if train else IGEVStereo.embed_noise
         noise_mod = model.apply(variables, noisy, t, method=method)
-        # Premultiply the level-0 volume with the noise (identical to the
-        # per-lookup multiply in geo_lookup; pooled levels are re-expressed as
-        # level-0 weights inside geo_lookup, so level 0 is all there is).
-        nl = jnp.moveaxis(noise_mod, 1, 3)[..., None]  # (B, H, W, D, 1)
-        pyramid = pyramid._replace(geo_levels=(pyramid.geo_levels[0] * nl,))
+        if noise_mode == "ref":
+            # Loop-invariant: fold the scrambled+pooled noise into the hat
+            # weights once; the geo volume stays clean.
+            noise_eff = fold_reference_noise(noise_mod, model.corr_levels)
+        elif noise_mode == "pixel":
+            # Premultiply the level-0 volume with the noise (identical to the
+            # per-lookup multiply in geo_lookup; pooled levels are
+            # re-expressed as level-0 weights inside geo_lookup, so level 0 is
+            # all there is).
+            nl = jnp.moveaxis(noise_mod, 1, 3)[..., None]  # (B, H, W, D, 1)
+            pyramid = pyramid._replace(geo_levels=(pyramid.geo_levels[0] * nl,))
+        else:
+            raise ValueError(noise_mode)
 
     def core(disp, net_list):
         geo = geo_lookup(pyramid, disp, coords, None, model.corr_radius,
-                         concat=False)
+                         concat=False, noise_eff=noise_eff)
         net_list, mask_feat, delta = model.apply(
             variables, net_list, enc["inp_list"], geo, disp[..., None],
             method=IGEVStereo.update,
@@ -355,6 +370,70 @@ def igev_rollout(
     return disp_ups
 
 
+def igev_rollout_ref_eval(
+    model: IGEVStereo,
+    variables,
+    enc: dict,
+    pyramid,
+    iters: int,
+    coords1: jax.Array,
+    noisy: jax.Array,
+    t: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Reference-faithful KITTI15 eval rollout (quirk mode).
+
+    The reference's ddim_sample seeds ``coords0 = coords1 = init_disp``
+    (igev_stereo_ddim.py:425,313) and its model_predictions then iterates on
+    ``flow = coords1 - coords0`` — so the geometry volume is sampled at the
+    accumulated RESIDUAL (0 on the first GRU iteration of the first DDIM
+    step), the all-pairs correlation is sampled at the constant
+    ``coords1 - flow = init_disp``, the update block's disparity input is the
+    residual, and the upsampled step output is the full-res residual
+    (model_predictions:226-265).  ``coords1`` additionally carries across DDIM
+    steps.  Our default rollout (igev_rollout) instead runs the training
+    semantics — absolute disparity — for eval too (documented deviation);
+    this function reproduces the reference exactly for checkpoint parity,
+    including the noise reshape-scramble (noise_mode="ref" semantics).
+
+    Args:
+      coords1: ``(B, H4, W4)`` carried coordinate state (init: init_disp).
+      noisy: ``(B, D, H4, W4)`` raw latent; t: ``(B,)`` timestep.
+
+    Returns:
+      ``(resid_up (B, H, W), new_coords1 (B, H4, W4))``.
+    """
+    from diffuvolume_tpu.models.igev.geometry import fold_reference_noise, geo_lookup
+
+    coords0 = enc["init_disp"]
+    noise_mod = model.apply(variables, noisy, t, method=IGEVStereo.embed_noise)
+    noise_eff = fold_reference_noise(noise_mod, model.corr_levels)
+
+    def core(c1, net_list):
+        flow = c1 - coords0
+        geo = geo_lookup(pyramid, flow, c1, None, model.corr_radius,
+                         concat=False, noise_eff=noise_eff)
+        net_list, mask_feat, delta = model.apply(
+            variables, net_list, enc["inp_list"], geo, flow[..., None],
+            method=IGEVStereo.update,
+        )
+        return c1 + delta[..., 0], net_list, mask_feat
+
+    def step(carry, _):
+        c1, net_list = carry
+        c1, net_list, _ = core(c1, net_list)
+        return (c1, net_list), None
+
+    (c1, net_list), _ = jax.lax.scan(
+        step, (coords1, enc["net_list"]), None, length=iters - 1
+    )
+    c1, _, mask_feat = core(c1, net_list)
+    resid_up = model.apply(
+        variables, c1 - coords0, mask_feat, enc["stem_2x"], False,
+        method=IGEVStereo.upsample,
+    )
+    return resid_up, c1
+
+
 def igev_encode(model: IGEVStereo, variables, left, right, train: bool = False,
                 rngs=None):
     """Run the static encoder and build the geometry pyramid.
@@ -384,6 +463,7 @@ def igev_forward(
     train: bool = False,
     test_mode: bool = False,
     rngs=None,
+    noise_mode: str = "pixel",
 ):
     """Full forward (igev_stereo_ddim.py:361-463).
 
@@ -392,7 +472,8 @@ def igev_forward(
     """
     enc, pyramid = igev_encode(model, variables, left, right, train, rngs)
     disp_ups = igev_rollout(
-        model, variables, enc, pyramid, iters, noisy, t, train, test_mode
+        model, variables, enc, pyramid, iters, noisy, t, train, test_mode,
+        noise_mode,
     )
 
     if test_mode:

@@ -50,7 +50,12 @@ def _conv_over_pieces(kernel, pieces, dt):
     arrives in the layout its producing conv/fusion emitted; feeding it to a
     conv directly avoids the data-formatting copy XLA inserts to realize the
     channel concat (device trace: ~140 µs/GRU-iter of `copy` ops at 384×1248,
-    all on concat-fed conv inputs)."""
+    all on concat-fed conv inputs).
+
+    The cross-piece sum accumulates in f32 (``preferred_element_type``) and is
+    cast to the compute dtype once at the end, so bf16 results match the
+    single fused conv (whose MXU accumulator is f32) instead of rounding each
+    partial output to bf16 before the add."""
     off, acc = 0, None
     for p in pieces:
         c = p.shape[-1]
@@ -58,11 +63,12 @@ def _conv_over_pieces(kernel, pieces, dt):
         y = jax.lax.conv_general_dilated(
             p.astype(dt), ks, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
         acc = y if acc is None else acc + y
         off += c
     assert off == kernel.shape[2], (off, kernel.shape)
-    return acc
+    return acc.astype(dt)
 
 
 class ConvGRU(nn.Module):
@@ -168,11 +174,14 @@ class BasicMotionEncoder(nn.Module):
                 assert len(rows) == j * c, (len(rows), j, c)
                 blk = kc1[0, 0, jnp.asarray(rows)]
             blk = blk.reshape(j, c, 64).astype(dt)
-            y = jnp.einsum("bhwjc,jco->bhwo", piece.astype(dt), blk)
+            y = jnp.einsum(
+                "bhwjc,jco->bhwo", piece.astype(dt), blk,
+                preferred_element_type=jnp.float32,
+            )
             acc = y if acc is None else acc + y
             total += j * c
         assert total == self.corr_planes, (total, self.corr_planes)
-        cor = jax.nn.relu(acc + bc1.astype(dt))
+        cor = jax.nn.relu(acc.astype(dt) + bc1.astype(dt))
         cor = jax.nn.relu(_conv(64, 3, "convc2", self.dtype)(cor))
         # convd1 (7×7, 1→64): a 1-input-channel conv wastes 127/128 MXU input
         # lanes (measured 53 µs/GRU-iter).  Unfold the scalar disparity into

@@ -81,10 +81,9 @@ def _pallas_conv3d_enabled() -> bool:
     """
     import os
 
-    return (
-        os.environ.get("DIFFU_PALLAS_CONV3D", "0") == "1"
-        and jax.default_backend() == "tpu"
-    )
+    from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
+    return os.environ.get("DIFFU_PALLAS_CONV3D", "0") == "1" and is_tpu_lowering()
 
 
 class _ConvKernel(nn.Module):

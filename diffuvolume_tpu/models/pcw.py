@@ -280,7 +280,11 @@ class PCWNet(nn.Module):
         def vol(scale_key, concat_key, d):
             gwc = build_gwc_volume(fl[scale_key], fr[scale_key], d, self.num_groups)
             if self.use_concat_volume:
-                cat = build_concat_volume(fl[concat_key], fr[concat_key], d)
+                # KITTI12's concat builder zeroes the REFERENCE channels where
+                # w < d too (KITTI12/models/submodule.py:86-97), unlike
+                # SceneFlow's (submodule.py:193-204) — mask_ref=True.
+                cat = build_concat_volume(fl[concat_key], fr[concat_key], d,
+                                          mask_ref=True)
                 return jnp.concatenate([gwc, cat], axis=-1)
             return gwc
 
@@ -319,7 +323,10 @@ class PCWNet(nn.Module):
     # ---- diffusion-conditioned single pass (pwcnet_ddim.py:467-530) ----
 
     def denoise(self, combine_volume, fl, fr, latent, t, out_hw, train: bool = False):
-        """Returns ``(disp_finetune, uncertainty)`` via the fused Pallas head.
+        """Returns ``(disp_finetune, uncertainty, transformed)`` via the fused
+        Pallas head; ``transformed`` is the time-embedded [0,1]-rescaled noise
+        volume the reference feeds to predict_noise_from_start
+        (pwcnet_ddim.py:468-470→...).
 
         Note: the reference scores uncertainty as ``Σ|d - disp_finetune|·p3``
         (pwcnet_ddim.py:554-559); the fused head scores against its own pred3.
@@ -340,7 +347,7 @@ class PCWNet(nn.Module):
             cost3.astype(jnp.float32), self.max_disp, out_hw, align_corners=True
         )
         disp_finetune = self.refine(pred3, fl, fr, out_hw, train)
-        return disp_finetune, unc3
+        return disp_finetune, unc3, noise.astype(jnp.float32)
 
     # ---- forwards (pwcnet_ddim.py:604-758) ----
 

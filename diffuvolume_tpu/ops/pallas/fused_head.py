@@ -104,7 +104,9 @@ def fused_upsample_softargmin(
     b, d4, h4, w4 = cost.shape
     h, w = out_hw
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
+        interpret = not is_tpu_lowering()
 
     mw = jnp.asarray(_interp_matrix(w4, w, align_corners)).T      # (W4, W)
     md = jnp.asarray(_interp_matrix(d4, max_disp, align_corners))  # (D, D4)

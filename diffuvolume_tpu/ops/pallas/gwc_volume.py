@@ -85,7 +85,9 @@ def gwc_volume_pallas(
     assert c % num_groups == 0
     cpg = c // num_groups
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
+        interpret = not is_tpu_lowering()
 
     # Block-diagonal group-mean projection (C, G).
     p = np.zeros((c, num_groups), np.float32)

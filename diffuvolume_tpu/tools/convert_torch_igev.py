@@ -243,8 +243,18 @@ def convert_igev_state_dict(state_dict, diffusion: bool = True, strict: bool = T
         path = tuple(p for part in flax_path for p in part.split("/"))
         _set(out[coll], path, np.asarray(w))
         used.add(torch_key)
+    # ResidualBlock (KITTI15/core/extractor.py:44-49) registers norm3 and ALSO
+    # reuses the same module inside downsample = Sequential(conv, norm3), so
+    # the state dict carries duplicate alias keys `*.downsample.1.*` for
+    # parameters already converted via `*.norm3.*`.
+    # BasicConv registers self.bn unconditionally (submodule.py:21,27) even
+    # when constructed with bn=False; cost_agg.conv1_up (igev hourglass, bn=
+    # False relu=False) therefore carries DEAD never-executed BN parameters.
+    dead = ("cost_agg.conv1_up.bn.",)
     leftovers = [k for k in sd if k not in used and not _BUFFER_RE.match(k)
-                 and "num_batches_tracked" not in k]
+                 and "num_batches_tracked" not in k
+                 and ".downsample.1." not in k
+                 and not k.startswith(dead)]
     if strict and leftovers:
         raise KeyError(f"unconverted torch keys: {leftovers[:10]}")
     return out

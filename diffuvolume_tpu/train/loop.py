@@ -120,7 +120,9 @@ def make_train_step(
             step=state.step + 1,
         )
         epe = jnp.sum(jnp.abs(pred - disp_gt) * mask) / jnp.maximum(mask.sum(), 1)
-        return new_state, {"loss": loss, "epe": epe}
+        # pred rides along for the TB image summaries (experiment.py:72-88);
+        # fetching it is lazy (async transfer only when the host reads it).
+        return new_state, {"loss": loss, "epe": epe, "pred": pred}
 
     return step_fn
 
@@ -187,6 +189,6 @@ def make_igev_train_step(
         )
         mask = (valid >= 0.5) & (disp_gt < model.max_disp)
         epe = jnp.sum(jnp.abs(pred - disp_gt) * mask) / jnp.maximum(mask.sum(), 1)
-        return new_state, {"loss": loss, "epe": epe}
+        return new_state, {"loss": loss, "epe": epe, "pred": pred}
 
     return step_fn

@@ -46,6 +46,35 @@ class Logger:
             self.running = {}
             self.t0 = time.time()
 
+    def write_images(self, images: dict, step: int | None = None):
+        """TB image summaries (SceneFlow/utils/experiment.py:72-88
+        ``save_images``): each value is ``(H, W)`` or ``(H, W, 3)`` float/uint8;
+        per-image min-max normalized like vutils.make_grid(normalize=True,
+        scale_each=True).  Written to TensorBoard when available, else as PNGs
+        under ``<logdir>/images/``."""
+        import numpy as np
+
+        step = self.step if step is None else step
+        for tag, img in images.items():
+            img = np.asarray(img)
+            if img.ndim == 3 and img.shape[0] in (1, 3) and img.shape[-1] not in (1, 3):
+                img = np.moveaxis(img, 0, -1)  # CHW → HWC
+            img = img.astype(np.float32)
+            lo, hi = float(img.min()), float(img.max())
+            norm = (img - lo) / max(hi - lo, 1e-12)
+            if self.tb is not None:
+                chw = norm[None] if norm.ndim == 2 else np.moveaxis(norm, -1, 0)
+                self.tb.add_image(tag, chw, step)
+            else:
+                from PIL import Image
+
+                d = os.path.join(self.logdir, "images")
+                os.makedirs(d, exist_ok=True)
+                arr = (norm * 255).astype("uint8")
+                Image.fromarray(arr).save(
+                    os.path.join(d, f"{tag.replace('/', '_')}_{step}.png")
+                )
+
     def write_dict(self, metrics: dict, step: int | None = None):
         step = self.step if step is None else step
         self.jsonl.write(json.dumps({"step": step, **{k: float(v) for k, v in metrics.items()}}) + "\n")

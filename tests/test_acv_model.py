@@ -8,6 +8,8 @@ import pytest
 from diffuvolume_tpu.diffusion import DDIMConfig
 from diffuvolume_tpu.models.acv import ACVNet
 
+pytestmark = pytest.mark.slow
+
 # Smallest config exercising every layer: D4 = max_disp//4 = 16 so the
 # hourglass bottleneck depth (4) matches the (4,4,4) attention block.
 MAX_DISP = 64
@@ -62,13 +64,16 @@ def test_eval_and_denoise(ddim_model_and_vars):
 
     latent = jax.random.normal(rng, (B, MAX_DISP // 4, H // 4, W // 4))
     t = jnp.full((B,), 999, jnp.int32)
-    disp, unc = model.apply(
+    disp, unc, transformed = model.apply(
         variables, ac_volume, latent, t, (H, W), method=ACVNet.denoise
     )
     assert disp.shape == (B, H, W)
     assert unc.shape == (B, H, W)
+    assert transformed.shape == latent.shape
     assert np.isfinite(np.asarray(disp)).all()
     assert (np.asarray(unc) >= 0).all()
+    tr = np.asarray(transformed)
+    assert tr.min() >= 0.0 and tr.max() <= 1.0
 
 
 def test_full_ddim_pipeline_runs(ddim_model_and_vars):

@@ -16,6 +16,8 @@ from diffuvolume_tpu.models.pcw import PCWNet
 from diffuvolume_tpu.tools.convert_torch import acv_rules
 from diffuvolume_tpu.tools.convert_torch_pcw import pcw_rules
 
+pytestmark = pytest.mark.slow
+
 
 def _leaf_paths(tree, prefix=()):
     out = set()

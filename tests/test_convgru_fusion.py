@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffuvolume_tpu.models.igev.update import ConvGRU
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _unfused_reference(params, h, cz, cr, cq, x):

@@ -105,3 +105,128 @@ def test_meters():
     md.update({"a": 3.0, "b": [3.0, 4.0]})
     out = md.mean()
     assert out["a"] == 2.0 and out["b"] == [2.0, 3.0]
+
+
+# ---------------------------------------------------------------------------
+# Full KITTI15/RAFT augmentor (augmentor.py:60-314 equivalents)
+# ---------------------------------------------------------------------------
+
+
+def test_adjust_hue_roundtrip_and_shift():
+    from diffuvolume_tpu.data.augment import adjust_hue
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (16, 16, 3)).astype(np.float32)
+    # zero shift = identity (up to fp)
+    np.testing.assert_allclose(adjust_hue(img, 0.0), img, atol=1e-3)
+    # full turn = identity
+    np.testing.assert_allclose(adjust_hue(img, 0.5),
+                               adjust_hue(adjust_hue(img, 0.25), 0.25), atol=1e-2)
+    # hue shift preserves value (max channel) and grayscale pixels
+    gray = np.full((4, 4, 3), 128.0, np.float32)
+    np.testing.assert_allclose(adjust_hue(gray, 0.3), gray, atol=1e-3)
+    shifted = adjust_hue(img, 0.17)
+    np.testing.assert_allclose(shifted.max(-1), img.max(-1), atol=1e-2)
+
+
+def test_color_jitter_distribution():
+    """Factors honor torchvision's U(max(0,1-x), 1+x) ranges: extremes bound
+    the output, identity config is exact."""
+    from diffuvolume_tpu.data.augment import ColorJitterNP
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(40, 200, (8, 8, 3)).astype(np.float32)
+    ident = ColorJitterNP(0.0, 0.0, (1.0, 1.0), 0.0)
+    np.testing.assert_allclose(ident(img, rng), img, atol=1e-2)
+
+    jit = ColorJitterNP(0.4, 0.4, (0.6, 1.4), 0.5 / 3.14)
+    outs = np.stack([jit(img, np.random.default_rng(i)) for i in range(20)])
+    assert outs.min() >= 0.0 and outs.max() <= 255.0
+    # brightness alone: mean scales within [0.6, 1.4] of the original
+    b_only = ColorJitterNP(0.4, 0.0, (1.0, 1.0), 0.0)
+    ratios = [
+        b_only(img, np.random.default_rng(i)).mean() / img.mean()
+        for i in range(50)
+    ]
+    assert 0.6 - 1e-6 <= min(ratios) and max(ratios) <= 1.4 + 1e-6
+    assert max(ratios) - min(ratios) > 0.3  # actually varies
+
+
+def test_flow_augmentor_asymmetric_probability():
+    """The p=0.2 asymmetric split (augmentor.py:86-96): asymmetric draws
+    jitter the two eyes with different factors; symmetric draws use one."""
+    from diffuvolume_tpu.data.augment import FlowAugmentor
+
+    aug = FlowAugmentor((32, 64), do_flip=False, yjitter=False)
+    img = np.full((48, 96, 3), 100.0, np.float32)
+    n_asym = 0
+    for i in range(200):
+        rng = np.random.default_rng(i)
+        o1, o2 = aug.color_transform(img.copy(), img.copy(), rng)
+        # same input both eyes → symmetric jitter keeps them identical
+        if not np.allclose(o1, o2, atol=1e-3):
+            n_asym += 1
+    assert 20 <= n_asym <= 60, n_asym  # ~Binomial(200, 0.2)
+
+
+def test_flow_augmentor_stretch_and_yjitter():
+    from diffuvolume_tpu.data.augment import FlowAugmentor
+
+    aug = FlowAugmentor((32, 64), min_scale=-0.2, max_scale=0.5, yjitter=True)
+    g = np.random.default_rng(3)
+    img1 = g.uniform(0, 255, (64, 128, 3)).astype(np.float32)
+    img2 = g.uniform(0, 255, (64, 128, 3)).astype(np.float32)
+    disp = g.uniform(1, 30, (64, 128)).astype(np.float32)
+    # per-axis stretch produces sx != sy sometimes; shapes always crop_size
+    for i in range(10):
+        o1, o2, od = aug(img1, img2, disp, np.random.default_rng(100 + i))
+        assert o1.shape == (32, 64, 3) and o2.shape == (32, 64, 3)
+        assert od.shape == (32, 64)
+        assert np.isfinite(od).all()
+
+
+def test_flow_augmentor_flip_modes():
+    from diffuvolume_tpu.data.augment import _apply_flips
+
+    g = np.random.default_rng(4)
+    img1 = g.uniform(0, 255, (16, 32, 3)).astype(np.float32)
+    img2 = g.uniform(0, 255, (16, 32, 3)).astype(np.float32)
+    disp = g.uniform(1, 10, (16, 32)).astype(np.float32)
+
+    # 'h' = stereo eye swap with mirror: deterministic given prob 1
+    o1, o2, od, _ = _apply_flips(img1, img2, disp, None,
+                                 np.random.default_rng(0), "h", h_flip_prob=1.1)
+    np.testing.assert_array_equal(o1, img2[:, ::-1])
+    np.testing.assert_array_equal(o2, img1[:, ::-1])
+    np.testing.assert_array_equal(od, disp)  # disparity untouched in 'h'
+
+    # 'v' with prob 1: both flipped vertically, disp rows flipped
+    o1, o2, od, _ = _apply_flips(img1, img2, disp, None,
+                                 np.random.default_rng(0), "v", v_flip_prob=1.1)
+    np.testing.assert_array_equal(o1, img1[::-1])
+    np.testing.assert_array_equal(od, disp[::-1])
+
+    # 'hf': both mirrored, disparity mirrored (sign-preserving for stereo)
+    o1, o2, od, _ = _apply_flips(img1, img2, disp, None,
+                                 np.random.default_rng(0), "hf", h_flip_prob=1.1)
+    np.testing.assert_array_equal(o1, img1[:, ::-1])
+    np.testing.assert_array_equal(od, disp[:, ::-1])
+
+
+def test_sparse_flow_augmentor_end_to_end():
+    from diffuvolume_tpu.data.augment import SparseFlowAugmentor
+
+    aug = SparseFlowAugmentor((32, 64), do_flip=False)
+    g = np.random.default_rng(5)
+    img1 = g.uniform(0, 255, (48, 96, 3)).astype(np.float32)
+    img2 = g.uniform(0, 255, (48, 96, 3)).astype(np.float32)
+    disp = np.zeros((48, 96), np.float32)
+    valid = np.zeros((48, 96), np.float32)
+    ys, xs = g.integers(1, 47, 200), g.integers(1, 95, 200)
+    disp[ys, xs] = g.uniform(1, 20, 200)
+    valid[ys, xs] = 1.0
+    for i in range(5):
+        o1, o2, od, ov = aug(img1, img2, disp, valid, np.random.default_rng(i))
+        assert o1.shape == (32, 64, 3) and od.shape == (32, 64)
+        assert set(np.unique(ov)).issubset({0.0, 1.0})
+        assert (od[ov < 1] == 0).all()  # sparse re-scatter keeps zeros invalid

@@ -139,7 +139,9 @@ def test_ddim_variant_presets(preset):
     const = jnp.full((b, h, w), 6.0)
 
     def denoise_fn(latent, t):
-        return const + 0.1 * jnp.tanh(latent.mean()), jnp.zeros((b, h, w))
+        disp = const + 0.1 * jnp.tanh(latent.mean())
+        transformed = jnp.clip((latent + 1.0) / 2.0, 0.0, 1.0)
+        return disp, jnp.zeros((b, h, w)), transformed
 
     baseline = jnp.full((b, h, w), 6.0)
     latent0 = encode_disparity_volume(jnp.full((b, h // 4, w // 4), 1.5), 12, 1.0)
@@ -162,7 +164,8 @@ def test_ddim_sample_shapes_and_ensemble():
     const_disp = jnp.full((b, h, w), 10.0)
 
     def denoise_fn(latent, t):
-        return const_disp, jnp.zeros((b, h, w))  # zero uncertainty: confident
+        transformed = jnp.clip((latent + 1.0) / 2.0, 0.0, 1.0)
+        return const_disp, jnp.zeros((b, h, w)), transformed  # zero unc: confident
 
     baseline = jnp.full((b, h, w), 10.0)
     latent0 = encode_disparity_volume(jnp.full((b, h4, w4), 2.5), 48, 1.0)

@@ -16,6 +16,8 @@ from diffuvolume_tpu.models.igev.geometry import (
 )
 from diffuvolume_tpu.models.igev.model import IGEVStereo, igev_forward
 
+pytestmark = pytest.mark.slow
+
 MAX_DISP = 64
 H, W = 64, 96
 B = 1
@@ -184,6 +186,78 @@ def test_igev_ddim_pipeline(igev_and_vars):
     final, bd = igev_ddim_inference(
         baseline, model, bvars, variables, left, right, jax.random.PRNGKey(6),
         cfg=cfg, iters=2,
+    )
+    assert final.shape == (B, H, W)
+    assert np.isfinite(np.asarray(final)).all()
+
+
+def test_fold_reference_noise_matches_reference_semantics():
+    """Quirk mode == the reference's exact noise treatment
+    (geometry_ddim.py:37-58): (1) the C-order reshape scramble of the
+    (B,D,H,W) noise into per-pixel rows, and (2) pooling the noise pyramid
+    SEPARATELY from the geo pyramid before multiplying per level."""
+    from diffuvolume_tpu.models.igev.geometry import (
+        _avgpool_last2,
+        fold_reference_noise,
+    )
+    from diffuvolume_tpu.ops.sampling import hat_sample_last2
+
+    rng = np.random.default_rng(17)
+    b, h, w, d, c = 2, 4, 8, 16, 8
+    radius = 4
+    ml = jnp.asarray(rng.standard_normal((b, h, w, 16)).astype(np.float32))
+    mr = jnp.asarray(rng.standard_normal((b, h, w, 16)).astype(np.float32))
+    gev = jnp.asarray(rng.standard_normal((b, d, h, w, c)).astype(np.float32))
+    noisy = jnp.asarray(rng.uniform(0.1, 1.0, (b, d, h, w)).astype(np.float32))
+    disp = jnp.asarray(rng.uniform(-2.0, d + 1.0, (b, h, w)).astype(np.float32))
+    coords = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, h, w))
+    pyr = build_geo_pyramid(ml, mr, gev, num_levels=2)
+    dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    jtap = 2 * radius + 1
+
+    # Oracle: reference semantics built literally.
+    n0 = noisy.reshape(b, d * h * w).reshape(b, h, w, d)  # the scramble
+    n1 = n0.reshape(b, h, w, d // 2, 2).mean(-1)  # pooled noise (separate)
+    geo_hwdc = jnp.moveaxis(gev, 1, 3)
+    want0 = hat_sample_last2(geo_hwdc * n0[..., None], disp[..., None] + dx)
+    want1 = hat_sample_last2(
+        _avgpool_last2(geo_hwdc) * n1[..., None], disp[..., None] * 0.5 + dx
+    )
+
+    eff = fold_reference_noise(noisy, num_levels=2)
+    assert eff.shape == (b, h, w, 2, d)
+    pieces = geo_lookup(pyr, disp, coords, radius=radius, concat=False,
+                        noise_eff=eff)
+    geo_block, _ = pieces[0]
+    np.testing.assert_allclose(np.asarray(geo_block[..., :jtap, :]),
+                               np.asarray(want0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(geo_block[..., jtap:, :]),
+                               np.asarray(want1), rtol=1e-5, atol=1e-5)
+    # Pool-then-multiply ≠ multiply-then-pool: the quirk must NOT equal the
+    # default per-pixel path fed the scrambled noise (cross terms differ).
+    nb_scrambled = jnp.moveaxis(n0, -1, 1)  # (B, D, H, W) but scrambled rows
+    default = geo_lookup(pyr, disp, coords, noisy=nb_scrambled, radius=radius,
+                         concat=False)
+    assert not np.allclose(np.asarray(default[0][0][..., jtap:, :]),
+                           np.asarray(want1), atol=1e-4)
+
+
+def test_igev_ddim_pipeline_quirk_mode(igev_and_vars):
+    """Reference-faithful eval (residual coords + scrambled noise) runs and
+    produces finite full-res output."""
+    import dataclasses
+    from diffuvolume_tpu.diffusion import KITTI15_DDIM
+    from diffuvolume_tpu.eval.pipeline import igev_ddim_inference
+
+    model, variables = igev_and_vars
+    baseline = IGEVStereo(max_disp=MAX_DISP, diffusion=False)
+    left = jax.random.uniform(jax.random.PRNGKey(7), (B, H, W, 3), maxval=255.0)
+    right = jnp.roll(left, -2, axis=2)
+    bvars = baseline.init(jax.random.PRNGKey(8), left, left, train=True)
+    cfg = dataclasses.replace(KITTI15_DDIM, max_disp=MAX_DISP, num_bins=MAX_DISP // 4)
+    final, bd = igev_ddim_inference(
+        baseline, model, bvars, variables, left, right, jax.random.PRNGKey(9),
+        cfg=cfg, iters=2, quirk=True,
     )
     assert final.shape == (B, H, W)
     assert np.isfinite(np.asarray(final)).all()

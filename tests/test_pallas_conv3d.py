@@ -8,6 +8,8 @@ import pytest
 
 from diffuvolume_tpu.ops.pallas.conv3d import _banded_weights, conv3d_packed
 
+pytestmark = pytest.mark.slow
+
 RNG = np.random.default_rng(3)
 
 

@@ -12,6 +12,8 @@ import pytest
 
 from diffuvolume_tpu.models.pcw import PCWNet
 
+pytestmark = pytest.mark.slow
+
 MAX_DISP = 128
 H, W = 64, 128
 B = 1

@@ -13,6 +13,9 @@ import jax.numpy as jnp
 from diffuvolume_tpu.diffusion import DDIMConfig
 from diffuvolume_tpu.eval.pipeline import acv_ddim_inference
 from diffuvolume_tpu.models.acv import ACVNet
+import pytest
+
+pytestmark = pytest.mark.slow
 
 H, W, MD = 32, 64, 64
 

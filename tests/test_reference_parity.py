@@ -1,0 +1,802 @@
+"""Whole-model activation parity vs the reference PyTorch implementation.
+
+VERDICT round-1 missing #1: the converters were only structurally verified.
+Here we instantiate the actual reference networks (random weights, randomized
+BN running stats) on CPU torch, convert the state dict with
+tools.convert_torch*, and assert end-to-end forward parity on:
+
+  * the frozen-baseline eval forward,
+  * the diffusion training forward (controlled t / q_sample noise),
+  * one DDIM denoise pass (reference ``model_predictions``).
+
+Reference entry points: SceneFlow/models/acv_ddim.py:372-482 (+acv.py:168),
+KITTI12/models/pwcnet_ddim.py:604-758, KITTI15/core/igev_stereo_ddim.py:361-463.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from diffuvolume_tpu.tools.refbridge import (
+    patch_cuda_noop,
+    randomize_bn_stats,
+    reference_imports,
+)
+
+pytestmark = pytest.mark.slow
+
+B, H, W = 1, 64, 128
+H4, W4 = H // 4, W // 4
+
+
+def _images(seed):
+    g = np.random.default_rng(seed)
+    left = g.normal(0, 0.5, (B, 3, H, W)).astype(np.float32)
+    right = g.normal(0, 0.5, (B, 3, H, W)).astype(np.float32)
+    return left, right
+
+
+def _to_jax_nhwc(x):
+    return jnp.asarray(np.moveaxis(x, 1, -1))
+
+
+def _jx(variables):
+    return jax.tree_util.tree_map(jnp.asarray, variables)
+
+
+def _report(name, ours, ref, tol):
+    ours = np.asarray(ours, np.float32)
+    ref = np.asarray(ref, np.float32)
+    err = np.abs(ours - ref)
+    scale = max(np.abs(ref).max(), 1e-3)
+    rel = err.max() / scale
+    assert rel < tol, f"{name}: max|Δ|={err.max():.3e} rel={rel:.3e} (scale {scale:.3e})"
+
+
+# Tolerance notes (measured, tools_diag_acv.py methodology):
+#  * Converter + layer parity is tight: att_weights/ac_volume match the
+#    reference at rel ≈ 2e-5.
+#  * The 20-conv 3D aggregation accumulates fp reassociation noise to
+#    rel ≈ 4e-4 on the pre-softmax cost (abs ~0.16 on logits of scale ~380
+#    under random weights).
+#  * softmax→soft-argmin then AMPLIFIES that logit noise ~15×: running OUR
+#    head on the REFERENCE cost matches to rel 1.5e-6, so the final-disp gap
+#    is pure upstream fp accumulation, not head/converter error.
+# Hence: assert the pre-softmax cost tightly (COST_TOL) and the regressed
+# disparity loosely (DISP_TOL).
+COST_TOL = 1.5e-3
+DISP_TOL = 2.5e-2
+
+
+# ---------------------------------------------------------------------------
+# ACVNet (SceneFlow)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def acv_ref():
+    """Reference ACVNet_DDIM with random weights and CALIBRATED BN stats.
+
+    With random conv weights + default (0/1) or random running stats, eval-mode
+    activations explode multiplicatively (measured ~5e6 at the feature output),
+    making the soft-argmin numerically chaotic and eval parity meaningless.
+    One momentum=1.0 train-mode forward sets every BN's running stats to real
+    batch statistics → O(1) eval activations AND non-trivial stats that would
+    expose converter mean/var mapping bugs.
+    """
+    with reference_imports("SceneFlow"):
+        torch.manual_seed(0)
+        from models.acv_ddim import ACVNet_DDIM
+
+        model = ACVNet_DDIM(192, False, False)
+        randomize_bn_stats(model, seed=1)
+        for m in model.modules():
+            if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+                m.momentum = 1.0
+        left, right = _images(0)
+        g = np.random.default_rng(1)
+        disp_q = g.uniform(0.0, 47.75, (B, 1, H4, W4)).astype(np.float32)
+        model.train()
+        saved_randint, saved_randn_like = torch.randint, torch.randn_like
+        torch.randint = lambda *a, **k: torch.tensor([250], dtype=torch.long)
+        torch.randn_like = lambda x, **k: torch.zeros_like(x)
+        try:
+            with torch.no_grad(), patch_cuda_noop():
+                model(
+                    torch.from_numpy(left), torch.from_numpy(right), None,
+                    torch.from_numpy(disp_q), None,
+                )
+        finally:
+            torch.randint, torch.randn_like = saved_randint, saved_randn_like
+        model.eval()
+        sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+        return model, sd
+
+
+def test_acv_baseline_eval_parity(acv_ref):
+    """Frozen-baseline eval: reference ACVNet (acv.py:168-260) vs ours.
+
+    The plain baseline net's state dict is the DDIM one minus time_embedding
+    (identical module names) — build it from the same weights.
+    """
+    from diffuvolume_tpu.models.acv import ACVNet
+    from diffuvolume_tpu.tools.convert_torch import convert_acv_state_dict
+
+    ddim_model, sd = acv_ref
+    with reference_imports("SceneFlow"):
+        from models.acv import ACVNet as RefACVNet
+
+        from diffuvolume_tpu.tools.convert_torch import _BUFFER_RE
+
+        ref = RefACVNet(192, False, False)
+        base_sd = {
+            k: v for k, v in sd.items()
+            if not k.startswith("time_embedding.") and not _BUFFER_RE.match(k)
+        }
+        ref.load_state_dict(base_sd)
+        ref.eval()
+        left, right = _images(2)
+        with torch.no_grad(), patch_cuda_noop():
+            # Reproduce acv.py:168-260 eval stage-by-stage to also expose the
+            # pre-softmax cost (the converter-sensitive signal; see tolerance
+            # notes above).
+            import torch.nn.functional as F
+
+            from models.submodule import build_concat_volume, build_gwc_volume
+
+            fl = ref.feature_extraction(torch.from_numpy(left))
+            fr = ref.feature_extraction(torch.from_numpy(right))
+            gwc = build_gwc_volume(fl["gwc_feature"], fr["gwc_feature"], 48,
+                                   ref.num_groups)
+            gwc = ref.patch(gwc)
+            pv = torch.cat((ref.patch_l1(gwc[:, :8]), ref.patch_l2(gwc[:, 8:24]),
+                            ref.patch_l3(gwc[:, 24:40])), dim=1)
+            attw = ref.classif_att_(ref.dres2_att_(ref.dres1_att_(pv)))
+            cv = build_concat_volume(ref.concatconv(fl["gwc_feature"]),
+                                     ref.concatconv(fr["gwc_feature"]), 48)
+            acv = F.softmax(attw, dim=2) * cv
+            c0 = ref.dres0(acv)
+            c0 = ref.dres1(c0) + c0
+            o2 = ref.dres3(ref.dres2(c0))
+            ref_cost = ref.classif2(o2)
+            ref_out = ref(torch.from_numpy(left), torch.from_numpy(right))[-1]
+
+    variables = _jx(convert_acv_state_dict(base_sd, diffusion=False))
+    ours = ACVNet(max_disp=192, diffusion=False)
+    jl, jr = _to_jax_nhwc(left), _to_jax_nhwc(right)
+    acj, attj = ours.apply(
+        variables, jl, jr, False, method=ACVNet.build_cost_volume, mutable=False
+    )
+    _report("acv att_weights", np.moveaxis(np.asarray(attj), -1, 1),
+            attw.numpy(), 1e-4)
+    _report("acv ac_volume", np.moveaxis(np.asarray(acj), -1, 1),
+            acv.numpy(), 1e-4)
+
+    def _cost2(self, vol, train):
+        _, _, out2 = self._aggregate(vol, train)
+        return self.classif2_1(self.classif2_0(out2, train))[..., 0]
+
+    cost = ours.apply(variables, acj, False, method=_cost2, mutable=False)
+    _report("acv baseline eval cost2", np.asarray(cost)[:, None],
+            ref_cost.numpy(), COST_TOL)
+
+    pred = ours.apply(variables, jl, jr, train=False, mutable=False)[-1]
+    _report("acv baseline eval disp", pred, ref_out.numpy(), DISP_TOL)
+
+
+def test_acv_train_forward_parity(acv_ref):
+    """Diffusion training forward with controlled t and q_sample noise
+    (acv_ddim.py:424-482)."""
+    from diffuvolume_tpu.models.acv import ACVNet
+    from diffuvolume_tpu.tools.convert_torch import convert_acv_state_dict
+
+    ref, sd = acv_ref
+    left, right = _images(3)
+    g = np.random.default_rng(4)
+    disp_q = g.uniform(0.0, 47.75, (B, 1, H4, W4)).astype(np.float32)
+    noise = g.normal(0, 1, (B, 48, H4, W4)).astype(np.float32)
+    t0 = 500
+
+    ref.train()
+    saved_randint, saved_randn_like = torch.randint, torch.randn_like
+    torch.randint = lambda *a, **k: torch.tensor([t0], dtype=torch.long)
+    torch.randn_like = lambda x, **k: torch.from_numpy(noise).to(x.dtype)
+    try:
+        with torch.no_grad(), patch_cuda_noop():
+            ref_outs = ref(
+                torch.from_numpy(left), torch.from_numpy(right), None,
+                torch.from_numpy(disp_q), None,
+            )
+    finally:
+        torch.randint, torch.randn_like = saved_randint, saved_randn_like
+    ref.eval()
+    # The momentum=1.0 train-mode forward above just overwrote the BN running
+    # stats; restore the snapshot so later tests (module-scoped fixture)
+    # compare against the same weights the converter saw.
+    ref.load_state_dict(sd)
+
+    variables = _jx(convert_acv_state_dict(sd, diffusion=True))
+    ours = ACVNet(max_disp=192, diffusion=True)
+    preds = ours.apply(
+        variables,
+        _to_jax_nhwc(left), _to_jax_nhwc(right),
+        jnp.asarray(disp_q[:, 0]), jnp.full((B,), t0, jnp.int32),
+        jnp.asarray(noise), None, True,
+        mutable=["batch_stats"],
+    )[0]
+    assert len(preds) == len(ref_outs) == 4
+    for i, (p, r) in enumerate(zip(preds, ref_outs)):
+        # Regressed disparities — same soft-argmin amplification as eval
+        # (pred_att at index 0 is shallower and tighter in practice).
+        _report(f"acv train pred[{i}]", p, r.detach().numpy(), DISP_TOL)
+
+
+def test_acv_denoise_step_parity(acv_ref):
+    """One DDIM denoise pass: reference model_predictions (acv_ddim.py:254-296)
+    vs our denoise + codec + predict_noise_from_start."""
+    from diffuvolume_tpu.diffusion import make_schedule
+    from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
+    from diffuvolume_tpu.diffusion.schedule import predict_noise_from_start
+    from diffuvolume_tpu.models.acv import ACVNet
+    from diffuvolume_tpu.ops.regression import resize_bilinear
+    from diffuvolume_tpu.tools.convert_torch import convert_acv_state_dict
+
+    ref, sd = acv_ref
+    g = np.random.default_rng(5)
+    volume = g.normal(0, 1, (B, 64, 48, H4, W4)).astype(np.float32)
+    latent = g.normal(0, 1, (B, 48, H4, W4)).astype(np.float32)
+    t0 = 399
+
+    ref.eval()
+    with torch.no_grad(), patch_cuda_noop():
+        ref_noise, ref_x_start, ref_pred, _ = ref.model_predictions(
+            torch.from_numpy(volume), torch.from_numpy(latent),
+            torch.tensor([t0], dtype=torch.long),
+        )
+
+    variables = _jx(convert_acv_state_dict(sd, diffusion=True))
+    ours = ACVNet(max_disp=192, diffusion=True)
+    # volume (B, C, D, H4, W4) → ours (B, D, H4, W4, C)
+    vol_j = jnp.asarray(np.moveaxis(volume, 1, -1))
+    t_vec = jnp.full((B,), t0, jnp.int32)
+    disp, _unc, transformed = ours.apply(
+        variables, vol_j, jnp.asarray(latent), t_vec, (H, W),
+        method=ACVNet.denoise, mutable=False,
+    )
+    _report("acv denoise disp", disp, ref_pred.numpy(), DISP_TOL)
+
+    # x_start re-encode (clamp → ↓4 bilinear → /4 → codec) and noise inversion.
+    # The hat codec is LINEARLY sensitive to disparity (1 bin of disp shift =
+    # 1.0 of hat-weight shift), so feeding OUR disp would just re-measure the
+    # DISP_TOL amplification above.  Isolate the re-encode + inversion math by
+    # driving it with the REFERENCE's own disparity.
+    disp_c = jnp.clip(jnp.asarray(ref_pred.numpy()), 0.0, 191.0)
+    disp_q = resize_bilinear(disp_c, (H4, W4), h_axis=1, w_axis=2) / 4.0
+    x_start = jnp.clip(encode_disparity_volume(disp_q, 48, 1.0), -1.0, 1.0)
+    _report("acv denoise x_start", x_start, ref_x_start.numpy(), 5e-3)
+
+    # The reference inverts noise from the TRANSFORMED volume, not the raw
+    # latent (acv_ddim.py:256-258→295) — DDIMConfig.invert_from="transformed".
+    sched = make_schedule(1000)
+    pred_noise = predict_noise_from_start(sched, transformed, t_vec, x_start)
+    _report("acv denoise pred_noise", pred_noise, ref_noise.numpy(), 5e-3)
+
+
+# ---------------------------------------------------------------------------
+# PCWNet (KITTI12)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pcw_ref():
+    """Reference PWCNet_ddim (pwcnet_ddim.py:336) with calibrated BN stats
+    (same methodology as acv_ref)."""
+    with reference_imports("KITTI12"):
+        torch.manual_seed(0)
+        from models.pwcnet_ddim import PWCNet_ddim
+
+        model = PWCNet_ddim(192, use_concat_volume=True)
+        randomize_bn_stats(model, seed=1)
+        for m in model.modules():
+            if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+                m.momentum = 1.0
+        left, right = _images(10)
+        g = np.random.default_rng(11)
+        disp_q = g.uniform(0.0, 47.75, (B, 1, H4, W4)).astype(np.float32)
+        model.train()
+        saved_randint, saved_randn_like = torch.randint, torch.randn_like
+        torch.randint = lambda *a, **k: torch.tensor([250], dtype=torch.long)
+        torch.randn_like = lambda x, **k: torch.zeros_like(x)
+        try:
+            with torch.no_grad(), patch_cuda_noop():
+                model(
+                    torch.from_numpy(left), torch.from_numpy(right), None,
+                    torch.from_numpy(disp_q), None,
+                )
+        finally:
+            torch.randint, torch.randn_like = saved_randint, saved_randn_like
+        model.eval()
+        sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+        return model, sd
+
+
+def test_pcw_baseline_eval_parity(pcw_ref):
+    """Frozen-baseline eval: reference PWCNet (pwcnet.py:310-512) vs ours,
+    stage-wise (combine volume tight, cost3 tight, disp loose)."""
+    from diffuvolume_tpu.models.pcw import PCWNet
+    from diffuvolume_tpu.tools.convert_torch import _BUFFER_RE
+    from diffuvolume_tpu.tools.convert_torch_pcw import convert_pcw_state_dict
+
+    _, sd = pcw_ref
+    with reference_imports("KITTI12"):
+        from models.pwcnet import PWCNet as RefPWCNet
+
+        ref = RefPWCNet(192, use_concat_volume=True)
+        base_sd = {
+            k: v for k, v in sd.items()
+            if not k.startswith("time_embedding.") and not _BUFFER_RE.match(k)
+        }
+        ref.load_state_dict(base_sd)
+        ref.eval()
+        left, right = _images(12)
+        with torch.no_grad(), patch_cuda_noop():
+            import torch.nn.functional as F
+
+            from models.submodule import build_concat_volume, build_gwc_volume
+
+            tl, tr = torch.from_numpy(left), torch.from_numpy(right)
+            fl = ref.feature_extraction(tl)
+            fr = ref.feature_extraction(tr)
+
+            def vol(i, d):
+                g = build_gwc_volume(fl[f"gw{i}"], fr[f"gw{i}"], d, ref.num_groups)
+                c = build_concat_volume(fl[f"concat_feature{i}"],
+                                        fr[f"concat_feature{i}"], d)
+                return torch.cat((g, c), 1)
+
+            v1, v2, v3, v4 = (vol(i, 192 >> (1 + i)) for i in (1, 2, 3, 4))
+            c0 = ref.dres0(v1)
+            c0 = ref.dres1(c0) + c0
+            combine = ref.combine1(c0, v2, v3, v4)
+            o3 = ref.dres4(ref.dres3(ref.dres2(combine)))
+            ref_cost3 = ref.classif3(o3)
+            ref_fin, ref_p3 = ref(tl, tr)
+            ref_fin, ref_p3 = ref_fin[0], ref_p3[0]
+
+    variables = _jx(convert_pcw_state_dict(base_sd, diffusion=False))
+    ours = PCWNet(max_disp=192, diffusion=False)
+    jl, jr = _to_jax_nhwc(left), _to_jax_nhwc(right)
+    comb_j, cost0_j, flj, frj = ours.apply(
+        variables, jl, jr, False, method=PCWNet.build_cost_volume, mutable=False
+    )
+    _report("pcw combine volume", np.moveaxis(np.asarray(comb_j), -1, 1),
+            combine.numpy(), COST_TOL)
+
+    def _cost3(self, comb, train):
+        out3 = self.dres4(self.dres3(self.dres2(comb, train), train), train)
+        return self.classif3_1(self.classif3_0(out3, train))[..., 0]
+
+    cost3_j = ours.apply(variables, comb_j, False, method=_cost3, mutable=False)
+    _report("pcw baseline cost3", np.asarray(cost3_j)[:, None],
+            ref_cost3.numpy(), COST_TOL)
+
+    (fin_j,), _ = ours.apply(variables, jl, jr, train=False, mutable=False)
+    # disp_finetune warps full-res features AT the (already soft-argmin-
+    # amplified) pred3 positions, so its error compounds one more stage.
+    _report("pcw baseline disp_finetune", fin_j, ref_fin.numpy(), 2 * DISP_TOL)
+
+
+def test_pcw_train_forward_parity(pcw_ref):
+    """Diffusion training forward, 6 heads (pwcnet_ddim.py:604-740)."""
+    from diffuvolume_tpu.models.pcw import PCWNet
+    from diffuvolume_tpu.tools.convert_torch_pcw import convert_pcw_state_dict
+
+    ref, sd = pcw_ref
+    left, right = _images(13)
+    g = np.random.default_rng(14)
+    disp_q = g.uniform(0.0, 47.75, (B, 1, H4, W4)).astype(np.float32)
+    noise = g.normal(0, 1, (B, 48, H4, W4)).astype(np.float32)
+    t0 = 500
+
+    ref.train()
+    saved_randint, saved_randn_like = torch.randint, torch.randn_like
+    torch.randint = lambda *a, **k: torch.tensor([t0], dtype=torch.long)
+    torch.randn_like = lambda x, **k: torch.from_numpy(noise).to(x.dtype)
+    try:
+        with torch.no_grad(), patch_cuda_noop():
+            ref_outs = ref(
+                torch.from_numpy(left), torch.from_numpy(right), None,
+                torch.from_numpy(disp_q), None,
+            )
+    finally:
+        torch.randint, torch.randn_like = saved_randint, saved_randn_like
+    ref.eval()
+    ref.load_state_dict(sd)  # undo the momentum=1.0 running-stat overwrite
+
+    variables = _jx(convert_pcw_state_dict(sd, diffusion=True))
+    ours = PCWNet(max_disp=192, diffusion=True)
+    preds = ours.apply(
+        variables,
+        _to_jax_nhwc(left), _to_jax_nhwc(right),
+        jnp.asarray(disp_q[:, 0]), jnp.full((B,), t0, jnp.int32),
+        jnp.asarray(noise), True,
+        mutable=["batch_stats"],
+    )[0]
+    assert len(preds) == len(ref_outs) == 6
+    for i, (p, r) in enumerate(zip(preds, ref_outs)):
+        # index 5 = disp_finetune: warps at amplified pred3 (see eval test).
+        tol = 2 * DISP_TOL if i == 5 else DISP_TOL
+        _report(f"pcw train pred[{i}]", p, r.detach().numpy(), tol)
+
+
+def test_pcw_denoise_step_parity(pcw_ref):
+    """One DDIM denoise pass: reference model_predictions
+    (pwcnet_ddim.py:466-530) vs our denoise + codec + inversion."""
+    from diffuvolume_tpu.diffusion import make_schedule
+    from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
+    from diffuvolume_tpu.diffusion.schedule import predict_noise_from_start
+    from diffuvolume_tpu.models.pcw import PCWNet
+    from diffuvolume_tpu.ops.regression import resize_bilinear
+    from diffuvolume_tpu.tools.convert_torch_pcw import convert_pcw_state_dict
+
+    ref, sd = pcw_ref
+    left, right = _images(15)
+    g = np.random.default_rng(16)
+    volume = g.normal(0, 1, (B, 32, 48, H4, W4)).astype(np.float32)
+    latent = g.normal(0, 1, (B, 48, H4, W4)).astype(np.float32)
+    t0 = 399
+
+    ref.eval()
+    with torch.no_grad(), patch_cuda_noop():
+        fl = ref.feature_extraction(torch.from_numpy(left))
+        fr = ref.feature_extraction(torch.from_numpy(right))
+        ref_noise, ref_x_start, ref_fin, _ = ref.model_predictions(
+            torch.from_numpy(volume), torch.from_numpy(latent),
+            torch.tensor([t0], dtype=torch.long), fl, fr,
+        )
+
+    variables = _jx(convert_pcw_state_dict(sd, diffusion=True))
+    ours = PCWNet(max_disp=192, diffusion=True)
+    jl, jr = _to_jax_nhwc(left), _to_jax_nhwc(right)
+    _, _, flj, frj = ours.apply(
+        variables, jl, jr, False, method=PCWNet.build_cost_volume, mutable=False
+    )
+    vol_j = jnp.asarray(np.moveaxis(volume, 1, -1))
+    t_vec = jnp.full((B,), t0, jnp.int32)
+    fin_j, _unc, transformed = ours.apply(
+        variables, vol_j, flj, frj, jnp.asarray(latent), t_vec, (H, W),
+        method=PCWNet.denoise, mutable=False,
+    )
+    _report("pcw denoise disp_finetune", fin_j, ref_fin.numpy(), DISP_TOL)
+
+    # Isolate re-encode + inversion by driving with the reference disparity
+    # (hat codec is linearly sensitive to disp; see tolerance notes).
+    disp_c = jnp.clip(jnp.asarray(ref_fin.numpy()), 0.0, 191.0)
+    disp_q = resize_bilinear(disp_c, (H4, W4), h_axis=1, w_axis=2) / 4.0
+    x_start = jnp.clip(encode_disparity_volume(disp_q, 48, 1.0), -1.0, 1.0)
+    _report("pcw denoise x_start", x_start, ref_x_start.numpy(), 5e-3)
+
+    sched = make_schedule(1000)
+    pred_noise = predict_noise_from_start(sched, transformed, t_vec, x_start)
+    _report("pcw denoise pred_noise", pred_noise, ref_noise.numpy(), 5e-3)
+
+
+# ---------------------------------------------------------------------------
+# IGEVStereo (KITTI15)
+# ---------------------------------------------------------------------------
+
+IGEV_ITERS = 3
+
+
+def _igev_args():
+    from argparse import Namespace
+
+    return Namespace(
+        mixed_precision=False, hidden_dims=[128] * 3, n_downsample=2,
+        n_gru_layers=3, slow_fast_gru=False, corr_levels=2, corr_radius=4,
+        max_disp=192, shared_backbone=False, corr_implementation="reg",
+    )
+
+
+def _igev_ref_encode(ref, left, right, train_extras: bool = False):
+    """Replicate igev_stereo_ddim.py:366-402's static encode on the torch
+    side, returning every stage we compare."""
+    import torch.nn.functional as F
+
+    from core.submodule import build_gwc_volume, disparity_regression
+
+    im1 = (2 * (torch.from_numpy(left) / 255.0) - 1.0)
+    im2 = (2 * (torch.from_numpy(right) / 255.0) - 1.0)
+    fl = ref.feature(im1)
+    fr = ref.feature(im2)
+    stem_2x = ref.stem_2(im1)
+    stem_4x = ref.stem_4(stem_2x)
+    stem_2y = ref.stem_2(im2)
+    stem_4y = ref.stem_4(stem_2y)
+    fl[0] = torch.cat((fl[0], stem_4x), 1)
+    fr[0] = torch.cat((fr[0], stem_4y), 1)
+    match_l = ref.desc(ref.conv(fl[0]))
+    match_r = ref.desc(ref.conv(fr[0]))
+    gwc = build_gwc_volume(match_l, match_r, 48, 8)
+    gwc = ref.corr_stem(gwc)
+    gwc = ref.corr_feature_att(gwc, fl[0])
+    gev = ref.cost_agg(gwc, fl)
+    prob = F.softmax(ref.classifier(gev).squeeze(1), dim=1)
+    init_disp = disparity_regression(prob, 48)
+    cnet_list = ref.cnet(im1, num_layers=3)
+    net_list = [torch.tanh(x[0]) for x in cnet_list]
+    inp_list = [torch.relu(x[1]) for x in cnet_list]
+    inp_list = [
+        list(conv(i).split(split_size=conv.out_channels // 3, dim=1))
+        for i, conv in zip(inp_list, ref.context_zqr_convs)
+    ]
+    out = {
+        "match_l": match_l, "match_r": match_r, "gev": gev,
+        "init_disp": init_disp, "net_list": net_list, "inp_list": inp_list,
+        "stem_2x": stem_2x,
+    }
+    if train_extras:  # igev_stereo_ddim.py:391-394
+        xspx = ref.spx_4(fl[0])
+        xspx = ref.spx_2(xspx, stem_2x)
+        out["spx_pred"] = F.softmax(ref.spx(xspx), 1)
+    return out
+
+
+def _igev_ref_train_rollout(ref, r, flow_gt, t0, eps, iters):
+    """Replicate the reference diffusion TRAIN rollout (igev_stereo_ddim.py:
+    404-457) from precomputed encode outputs ``r``, with one repair: the
+    published code passes ``coords`` of shape ``(b, h, w, 1)`` (line 404) into
+    the geometry lookup, whose noise reshape keys on ``coords.shape``
+    (geometry_ddim.py:36-37) — producing 32 rows of 768 against 512 geo rows
+    of 48, a hard RuntimeError.  The published KITTI15 train path therefore
+    CANNOT run as written; the eval path's ``(b, 1, h, w)`` coords layout
+    (same element order, so identical sampling coordinates) is the evident
+    intent and is what we reproduce.  ``x_start`` encoding uses our codec
+    (oracle-tested against the reference's scatter construction in
+    tests/test_diffusion.py)."""
+    from core.geometry_ddim import Combined_Geo_Encoding_Volume
+
+    from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
+
+    geo_fn = Combined_Geo_Encoding_Volume(
+        r["match_l"].float(), r["match_r"].float(), r["gev"].float(),
+        radius=4, num_levels=2,
+    )
+    b, _, h, w = r["match_l"].shape
+    coords = torch.arange(w).float().reshape(1, 1, 1, w).repeat(b, 1, h, 1)
+
+    dv = np.asarray(
+        encode_disparity_volume(jnp.asarray(flow_gt[:, 0]), 48, 1.0)
+    )
+    t = torch.tensor([t0], dtype=torch.long)
+    noisy = ref.q_sample(torch.from_numpy(dv), t, torch.from_numpy(eps))
+    noisy = ref.time_embedding(noisy, t)
+    noisy = noisy + t[:, None, None, None].float() / ref.num_timesteps
+    noisy = torch.clamp(noisy, min=-1.0, max=1.0)
+    noisy = ((noisy / 1.0) + 1) / 2.0
+    # f64 schedule buffers upcast noisy; the reference casts back at line 436.
+    noisy = noisy.float()
+
+    disp = r["init_disp"]
+    net_list = [n.clone() for n in r["net_list"]]
+    preds = []
+    for _ in range(iters):
+        geo_feat = geo_fn(disp, coords, noisy)
+        net_list, mask_feat_4, delta = ref.update_block(
+            net_list, r["inp_list"], geo_feat, disp, iter16=True, iter08=True
+        )
+        disp = disp + delta
+        preds.append(ref.upsample_disp(disp, mask_feat_4, r["stem_2x"]))
+    return preds
+
+
+def _igev_ref_train(ref, left, right, flow_gt, t0, eps, iters):
+    """Full train forward = encode + rollout + init-disp upsample."""
+    from core.submodule import context_upsample
+
+    r = _igev_ref_encode(ref, left, right, train_extras=True)
+    preds = _igev_ref_train_rollout(ref, r, flow_gt, t0, eps, iters)
+    init_up = context_upsample(
+        r["init_disp"] * 4.0, r["spx_pred"].float()
+    ).unsqueeze(1)
+    return init_up, preds
+
+
+@pytest.fixture(scope="module")
+def igev_ref():
+    """Reference IGEVStereo_ddim (igev_stereo_ddim.py:118) on the timm stub,
+    calibrated BN stats (same methodology as acv_ref; calibration runs the
+    repaired train-loop replication — see _igev_ref_train — because the
+    published train forward crashes)."""
+    from diffuvolume_tpu.tools.refbridge import install_timm_stub
+
+    with reference_imports("KITTI15"):
+        install_timm_stub()
+        torch.manual_seed(0)
+        from core.igev_stereo_ddim import IGEVStereo_ddim
+
+        model = IGEVStereo_ddim(_igev_args())
+        randomize_bn_stats(model, seed=1)
+        for m in model.modules():
+            if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+                m.momentum = 1.0
+        g = np.random.default_rng(20)
+        left = g.uniform(0, 255, (B, 3, H, W)).astype(np.float32)
+        right = g.uniform(0, 255, (B, 3, H, W)).astype(np.float32)
+        flow_gt = g.uniform(0.0, 47.75, (B, 1, H4, W4)).astype(np.float32)
+        eps0 = np.zeros((B, 48, H4, W4), np.float32)
+        model.train()
+        with torch.no_grad(), patch_cuda_noop():
+            _igev_ref_train(model, left, right, flow_gt, 250, eps0, IGEV_ITERS)
+        model.eval()
+        sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+        return model, sd
+
+
+def test_igev_encode_parity(igev_ref):
+    """Static encode: features → GEV → init disparity → GRU states
+    (igev_stereo_ddim.py:366-402) vs IGEVStereo.encode."""
+    from diffuvolume_tpu.models.igev.model import IGEVStereo, igev_encode
+    from diffuvolume_tpu.tools.convert_torch_igev import convert_igev_state_dict
+
+    ref, sd = igev_ref
+    g = np.random.default_rng(21)
+    left = g.uniform(0, 255, (B, 3, H, W)).astype(np.float32)
+    right = g.uniform(0, 255, (B, 3, H, W)).astype(np.float32)
+    with reference_imports("KITTI15"):
+        with torch.no_grad(), patch_cuda_noop():
+            r = _igev_ref_encode(ref, left, right)
+
+    variables = _jx(convert_igev_state_dict(sd, diffusion=True))
+    ours = IGEVStereo(max_disp=192, diffusion=True)
+    enc, _pyr = igev_encode(ours, variables, _to_jax_nhwc(left),
+                            _to_jax_nhwc(right), train=False)
+
+    _report("igev match_l", np.moveaxis(np.asarray(enc["match_l"]), -1, 1),
+            r["match_l"].numpy(), 1e-3)
+    _report("igev stem_2x", np.moveaxis(np.asarray(enc["stem_2x"]), -1, 1),
+            r["stem_2x"].numpy(), 1e-3)
+    _report("igev gev", np.moveaxis(np.asarray(enc["gev"]), -1, 1),
+            r["gev"].numpy(), COST_TOL)
+    _report("igev init_disp", np.asarray(enc["init_disp"]),
+            r["init_disp"].squeeze(1).numpy(), 5e-3)
+    for i in range(3):
+        _report(f"igev net_list[{i}]",
+                np.moveaxis(np.asarray(enc["net_list"][i]), -1, 1),
+                r["net_list"][i].numpy(), 2e-3)
+        for k in range(3):
+            _report(f"igev inp_list[{i}][{k}]",
+                    np.moveaxis(np.asarray(enc["inp_list"][i][k]), -1, 1),
+                    r["inp_list"][i][k].numpy(), 2e-3)
+
+
+def test_igev_train_forward_parity(igev_ref):
+    """Diffusion training rollout (igev_stereo_ddim.py:404-457) with the
+    reference's scrambled-noise geometry semantics (noise_mode='ref').
+
+    Both sides run from the REFERENCE's encode outputs (converted layouts),
+    isolating the rollout math — noise embed (+t/T), q_sample, scrambled geo
+    lookup, GRU update, superpixel upsample — from encode-stage fp
+    amplification (which test_igev_encode_parity covers)."""
+    from diffuvolume_tpu.diffusion import make_schedule, q_sample
+    from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
+    from diffuvolume_tpu.models.igev.geometry import build_geo_pyramid
+    from diffuvolume_tpu.models.igev.model import IGEVStereo, igev_rollout
+    from diffuvolume_tpu.tools.convert_torch_igev import convert_igev_state_dict
+
+    ref, sd = igev_ref
+    g = np.random.default_rng(22)
+    left = g.uniform(0, 255, (B, 3, H, W)).astype(np.float32)
+    right = g.uniform(0, 255, (B, 3, H, W)).astype(np.float32)
+    flow_gt = g.uniform(0.0, 47.75, (B, 1, H4, W4)).astype(np.float32)
+    eps = g.normal(0, 1, (B, 48, H4, W4)).astype(np.float32)
+    t0 = 500
+
+    ref.eval()  # BN frozen — matches our rollout's frozen-BN loop semantics
+    with torch.no_grad(), patch_cuda_noop(), reference_imports("KITTI15"):
+        r = _igev_ref_encode(ref, left, right, train_extras=True)
+        ref_preds = _igev_ref_train_rollout(
+            ref, r, flow_gt, t0, eps, IGEV_ITERS
+        )
+
+    variables = _jx(convert_igev_state_dict(sd, diffusion=True))
+    ours = IGEVStereo(max_disp=192, diffusion=True)
+
+    def chlast(x):
+        return jnp.asarray(np.moveaxis(x.numpy(), 1, -1))
+
+    enc = {
+        "init_disp": jnp.asarray(r["init_disp"].squeeze(1).numpy()),
+        "net_list": [chlast(n) for n in r["net_list"]],
+        "inp_list": [tuple(chlast(p) for p in ps) for ps in r["inp_list"]],
+        "stem_2x": chlast(r["stem_2x"]),
+    }
+    pyramid = build_geo_pyramid(
+        chlast(r["match_l"]), chlast(r["match_r"]),
+        jnp.asarray(np.moveaxis(r["gev"].numpy(), 1, -1)), num_levels=2,
+    )
+    sched = make_schedule(1000)
+    t_vec = jnp.full((B,), t0, jnp.int32)
+    x_start = encode_disparity_volume(jnp.asarray(flow_gt[:, 0]), 48, 1.0)
+    noisy = q_sample(sched, x_start, t_vec, jnp.asarray(eps))
+    disp_ups = igev_rollout(
+        ours, variables, enc, pyramid, IGEV_ITERS, noisy=noisy, t=t_vec,
+        train=True, noise_mode="ref",
+    )
+    assert disp_ups.shape[0] == len(ref_preds) == IGEV_ITERS
+    for i in range(IGEV_ITERS):
+        # GRU iterates re-sample geometry AT the (already amplified) current
+        # disparity — error still compounds per iteration, but from identical
+        # starting state.
+        _report(f"igev train disp_ups[{i}]", disp_ups[i],
+                ref_preds[i].squeeze(1).numpy(), DISP_TOL)
+
+
+def test_igev_quirk_eval_rollout_parity(igev_ref):
+    """Reference model_predictions (igev_stereo_ddim.py:226-292) — residual
+    coords, scrambled noise, init_disp-offset re-encode — vs
+    igev_rollout_ref_eval + the quirk re-encode + noise inversion."""
+    from diffuvolume_tpu.diffusion import make_schedule
+    from diffuvolume_tpu.diffusion.codec import encode_disparity_volume
+    from diffuvolume_tpu.diffusion.schedule import predict_noise_from_start
+    from diffuvolume_tpu.models.igev.model import (
+        IGEVStereo,
+        igev_encode,
+        igev_rollout_ref_eval,
+    )
+    from diffuvolume_tpu.ops.regression import resize_bilinear
+    from diffuvolume_tpu.tools.convert_torch_igev import convert_igev_state_dict
+
+    ref, sd = igev_ref
+    g = np.random.default_rng(23)
+    left = g.uniform(0, 255, (B, 3, H, W)).astype(np.float32)
+    right = g.uniform(0, 255, (B, 3, H, W)).astype(np.float32)
+    latent = g.normal(0, 1, (B, 48, H4, W4)).astype(np.float32)
+    t0 = 399
+
+    with reference_imports("KITTI15"):
+        from core.geometry_ddim import Combined_Geo_Encoding_Volume
+
+        with torch.no_grad(), patch_cuda_noop():
+            r = _igev_ref_encode(ref, left, right)
+            geo_fn = Combined_Geo_Encoding_Volume(
+                r["match_l"].float(), r["match_r"].float(), r["gev"].float(),
+                radius=4, num_levels=2,
+            )
+            coords0 = r["init_disp"]  # (B, 1, H4, W4)
+            ref_noise, ref_x_start, ref_pred, ref_coords1 = ref.model_predictions(
+                coords0, coords0, None, IGEV_ITERS,
+                [n.clone() for n in r["net_list"]], r["inp_list"], geo_fn,
+                torch.from_numpy(latent),
+                torch.tensor([t0], dtype=torch.long), r["stem_2x"],
+            )
+
+    variables = _jx(convert_igev_state_dict(sd, diffusion=True))
+    ours = IGEVStereo(max_disp=192, diffusion=True)
+    enc, pyramid = igev_encode(ours, variables, _to_jax_nhwc(left),
+                               _to_jax_nhwc(right), train=False)
+    t_vec = jnp.full((B,), t0, jnp.int32)
+    resid_up, c1 = igev_rollout_ref_eval(
+        ours, variables, enc, pyramid, IGEV_ITERS, enc["init_disp"],
+        jnp.asarray(latent), t_vec,
+    )
+    _report("igev quirk resid_up", resid_up, ref_pred.squeeze(1).numpy(),
+            2 * DISP_TOL)
+    _report("igev quirk coords1", c1, ref_coords1.squeeze(1).numpy(),
+            2 * DISP_TOL)
+
+    # Quirk re-encode (from the REFERENCE residual, to isolate the codec
+    # math): clamp full-res to [0,47] → ↓4 /4 → + init_disp → clamp [0,47].
+    d = jnp.clip(jnp.asarray(ref_pred.squeeze(1).numpy()), 0.0, 47.0)
+    dq = resize_bilinear(d, (H4, W4), h_axis=1, w_axis=2) / 4.0
+    true_c1 = jnp.clip(dq + jnp.asarray(coords0.squeeze(1).numpy()), 0.0, 47.0)
+    x_start = jnp.clip(encode_disparity_volume(true_c1, 48, 1.0), -1.0, 1.0)
+    _report("igev quirk x_start", x_start, ref_x_start.numpy(), 1e-2)
+
+    transformed = ours.apply(variables, jnp.asarray(latent), t_vec,
+                             method=IGEVStereo.embed_noise)
+    sched = make_schedule(1000)
+    pred_noise = predict_noise_from_start(sched, transformed, t_vec, x_start)
+    _report("igev quirk pred_noise", pred_noise, ref_noise.numpy(), 1e-2)

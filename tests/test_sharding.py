@@ -11,6 +11,8 @@ from diffuvolume_tpu.models.acv import ACVNet
 from diffuvolume_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
 from diffuvolume_tpu.train.loop import create_train_state, make_train_step
 
+pytestmark = pytest.mark.slow
+
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
