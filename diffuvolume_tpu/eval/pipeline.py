@@ -165,6 +165,15 @@ def pcw_ddim_inference(
     return final, baseline_disp
 
 
+def _eval_corr_mode() -> str:
+    """IGEV eval correlation representation: the diagonal-band lookup by
+    default (exact for quarter-res disparities in [-1, 52] — the full 48-bin
+    range; see geometry.GeoPyramid), env-overridable for A/B measurement."""
+    import os
+
+    return os.environ.get("DIFFU_CORR_MODE", "band")
+
+
 @functools.cache
 def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int,
                  quirk: bool = False):
@@ -176,7 +185,7 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int,
     def baseline_pass(baseline_vars, left, right):
         return igev_forward(
             baseline_model, baseline_vars, left, right, iters=iters,
-            test_mode=True,
+            test_mode=True, corr_mode=_eval_corr_mode(),
         )
 
     @jax.jit
@@ -197,7 +206,8 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int,
         # Encode ONCE; each DDIM step re-runs only the GRU rollout with the
         # new latent (the reference re-uses its precomputed geo_fn the same
         # way, igev_stereo_ddim.py:401-427).
-        enc, pyramid = igev_encode(ddim_model, ddim_vars, left, right, train=False)
+        enc, pyramid = igev_encode(ddim_model, ddim_vars, left, right,
+                                   train=False, corr_mode=_eval_corr_mode())
 
         def embed(latent, t):
             # The reference inverts noise from the transformed volume
@@ -290,7 +300,8 @@ def _baseline_forward(model, variables, inputs, iters):
     if iters is not None:  # IGEV path
         from diffuvolume_tpu.models.igev.model import igev_forward
 
-        return igev_forward(model, variables, left, right, iters=iters, test_mode=True)
+        return igev_forward(model, variables, left, right, iters=iters,
+                            test_mode=True, corr_mode=_eval_corr_mode())
     out = model.apply(variables, left, right, train=False)
     # ACV eval returns [pred]; PCW eval returns ([disp_finetune], [prob3]).
     disp = out[0]

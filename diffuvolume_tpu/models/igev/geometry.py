@@ -35,19 +35,32 @@ from diffuvolume_tpu.ops.sampling import hat_sample_last2
 class GeoPyramid(NamedTuple):
     """Precomputed lookup pyramids (levels along the disparity axis).
 
-    Two interchangeable correlation representations (exactly equal outputs):
-    ``corr_levels`` holds the materialized all-pairs correlation per level
-    (VPU hat-contraction at lookup time), while ``match_l``/``match_r_levels``
-    hold the raw descriptors (DIFFU_CORR_RSAMP=1): the lookup then hat-samples
-    the pooled right descriptors (an MXU matmul over the scanline) and dots
-    with the left descriptor — avg-pooling correlation over v equals
-    correlating with the avg-pooled right descriptors, by linearity.
+    Three interchangeable correlation representations (equal outputs within
+    their documented domains):
+
+    * ``corr_levels`` holds the materialized all-pairs correlation per level
+      (dense VPU hat-contraction over the full scanline at lookup time).
+    * ``match_l``/``match_r_levels`` hold the raw descriptors
+      (``corr_mode="rsamp"``): the lookup hat-samples the pooled right
+      descriptors (an MXU matmul over the scanline) and dots with the left
+      descriptor — avg-pooling correlation over v equals correlating with the
+      avg-pooled right descriptors, by linearity.
+    * ``band_levels`` holds a **diagonal band** of the correlation
+      (``corr_mode="band"``, the fast default for inference): the lookup
+      position is ``(w - disp)·2⁻ⁱ + dx``, i.e. at most ``maxdisp·2⁻ⁱ + r + 1``
+      columns left of the anchor ``⌊w·2⁻ⁱ⌋``, so only a ~58-wide diagonal
+      band of the (W, W/2ⁱ) correlation matrix is ever sampled.  Extracting
+      it (pure pad+reshape stride tricks — no gather) shrinks the per-GRU-
+      iteration hat contraction from W/2ⁱ to ``band`` lanes (measured
+      260 → ~65 µs/iter at 384×1248 on v5e).
     """
 
     geo_levels: tuple[jax.Array, ...]   # (level 0 only) (B, H, W, D, C)
     corr_levels: tuple[jax.Array, ...]  # each (B, H, W, W2/2^i, 1); () in rsamp mode
     match_l: jax.Array | None = None          # (B, H, W, C) [rsamp mode]
     match_r_levels: tuple[jax.Array, ...] = ()  # each (B, H, W2/2^i, C) [rsamp mode]
+    band_levels: tuple[jax.Array, ...] = ()  # each (B, H, W, band) [band mode]
+    band_offs: tuple[int, ...] = ()          # per-level band offset
 
 
 def all_pairs_correlation(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
@@ -69,12 +82,51 @@ def _avgpool_last2(x: jax.Array) -> jax.Array:
     return x[..., : 2 * d, :].reshape(*x.shape[:-2], d, 2, x.shape[-1]).mean(-2)
 
 
+def _extract_diag_band(corr: jax.Array, level: int, band: int, off: int) -> jax.Array:
+    """Diagonal band of a pyramid-level correlation, without any gather.
+
+    ``out[b,h,w,k] = corr[b,h,w, (w >> level) + k - off]`` (zero outside
+    ``[0, V)``), built from pure pad/reshape/slice ops: flattening the (W, V)
+    matrix row-major, the anchored element ``(w, (w>>i)+c)`` with
+    ``w = 2ⁱ·u + r`` sits at flat index ``u·(2ⁱ·V + 1) + r·V + c`` — i.e.
+    rows of a reshape to ``(W/2ⁱ, 2ⁱ·V + 1)`` hold the bands of the 2ⁱ
+    residues at static column offsets.
+
+    Args:
+      corr: ``(B, H, W, V, 1)`` level-``level`` correlation (V = W >> level).
+      band: band width K (lanes of the per-iteration hat contraction).
+      off: anchor offset — band column k holds diagonal offset ``k - off``.
+
+    Returns:
+      ``(B, H, W, band)``.
+    """
+    b, h, w, v, _ = corr.shape
+    step = 1 << level
+    assert w % step == 0 and band <= v + 1, (w, v, band)
+    u = w // step
+    stride = step * v + 1
+    flat = corr.reshape(b, h, w * v)
+    # pad left so k - off indexes become k, right up to u·stride rows.
+    pad_r = u * stride - off - w * v
+    assert pad_r >= 0, (u, stride, off)
+    p = jnp.pad(flat, ((0, 0), (0, 0), (off, pad_r))).reshape(b, h, u, stride)
+    parts = [p[:, :, :, r * v : r * v + band] for r in range(step)]
+    out = jnp.stack(parts, axis=3).reshape(b, h, w, band)
+    # Columns whose corr index (w>>level)+k-off falls outside [0, v) read the
+    # flat pad (zero, correct) on the left but the NEXT row's data on the
+    # right — mask both to reproduce dense zero padding exactly.
+    idx = (jnp.arange(w)[:, None] >> level) + jnp.arange(band)[None, :] - off
+    return out * ((idx >= 0) & (idx < v)).astype(out.dtype)
+
+
 def build_geo_pyramid(
     match_left: jax.Array,
     match_right: jax.Array,
     geo_volume: jax.Array,
     num_levels: int = 2,
     corr_mode: str | None = None,
+    band: int = 64,
+    geo_pool: bool | None = None,
 ) -> GeoPyramid:
     """Precompute the GEV + correlation pyramids (geometry_ddim.py:7-31).
 
@@ -89,10 +141,30 @@ def build_geo_pyramid(
       match_left/right: ``(B, H, W, C)`` descriptors.
       geo_volume: ``(B, D, H, W, C=8)`` geometry encoding volume.
       num_levels: pyramid depth (2 in the reference).
+      corr_mode: "volume" (dense, exact for any disparity), "band" (diagonal
+        band, exact for quarter-res disparities in ``[-1, band-7-5]`` — 52 px
+        for the default 64 band, vs the 48-bin disparity range; out-of-band
+        positions read 0 like the reference's out-of-image zero padding), or
+        "rsamp" (descriptor resampling).  ``None`` → ``$DIFFU_CORR_MODE`` or
+        "volume".
+      band: band width for "band" mode (lane count of the per-iter contraction).
+      geo_pool: materialize the avg-pooled geo levels so level i contracts
+        J·D/2ⁱ·C per iteration instead of J·D·C via coarsened level-0 hats
+        (exact either way, by linearity of pooling).  ``None`` →
+        ``$DIFFU_GEO_POOL1`` (default off).
     """
     geo = jnp.moveaxis(geo_volume, 1, 3)  # (B, H, W, D, C)
+    if geo_pool is None:
+        geo_pool = os.environ.get("DIFFU_GEO_POOL1", "0") == "1"
+    geo_levels = [geo]
+    if geo_pool:
+        for _ in range(num_levels - 1):
+            geo_levels.append(_avgpool_last2(geo_levels[-1]))
+    geo_levels = tuple(geo_levels)
     if corr_mode is None:
-        corr_mode = "rsamp" if os.environ.get("DIFFU_CORR_RSAMP") else "volume"
+        corr_mode = os.environ.get(
+            "DIFFU_CORR_MODE", "rsamp" if os.environ.get("DIFFU_CORR_RSAMP") else "volume"
+        )
     if corr_mode == "rsamp":
         r_levels = [match_right]
         for _ in range(num_levels - 1):
@@ -102,7 +174,7 @@ def build_geo_pyramid(
                 r[:, :, : 2 * v].reshape(r.shape[0], r.shape[1], v, 2, r.shape[3]).mean(3)
             )
         return GeoPyramid(
-            geo_levels=(geo,),
+            geo_levels=geo_levels,
             corr_levels=(),
             match_l=match_left,
             match_r_levels=tuple(r_levels),
@@ -111,8 +183,23 @@ def build_geo_pyramid(
     corr_levels = [corr]
     for _ in range(num_levels - 1):
         corr_levels.append(_avgpool_last2(corr_levels[-1]))
+    if corr_mode == "band":
+        # Per-level width clamp (a pooled level can be narrower than `band`);
+        # the coverage bound is then min_i 2^i·(band_i - 12) quarter-res px.
+        bands = [min(band, cl.shape[-2] + 1) for cl in corr_levels]
+        offs = [bi - 7 for bi in bands]
+        return GeoPyramid(
+            geo_levels=geo_levels,
+            corr_levels=(),
+            band_levels=tuple(
+                _extract_diag_band(cl, i, bi, oi)
+                for i, (cl, bi, oi) in enumerate(zip(corr_levels, bands, offs))
+            ),
+            band_offs=tuple(offs),
+        )
+    assert corr_mode == "volume", corr_mode
     return GeoPyramid(
-        geo_levels=(geo,),
+        geo_levels=geo_levels,
         corr_levels=tuple(corr_levels),
     )
 
@@ -197,7 +284,11 @@ def geo_lookup(
       reference config), channels-last; or the tuple of pieces.
     """
     b, h, w = disp.shape
-    num_levels = len(pyramid.corr_levels) or len(pyramid.match_r_levels)
+    num_levels = (
+        len(pyramid.corr_levels)
+        or len(pyramid.match_r_levels)
+        or len(pyramid.band_levels)
+    )
     j = 2 * radius + 1
     dx = jnp.arange(-radius, radius + 1, dtype=disp.dtype)
 
@@ -207,6 +298,33 @@ def geo_lookup(
     d = geo.shape[-2]
     assert d % (2 ** (num_levels - 1)) == 0, (d, num_levels)
     bins = jnp.arange(d, dtype=disp.dtype)
+
+    if len(pyramid.geo_levels) > 1 and noise_eff is None:
+        # Materialized-pyramid mode: each level contracts against its own
+        # (pooled) volume — level i costs J·D/2ⁱ·C instead of J·D·C, cutting
+        # the per-iteration VPU work ~25% for 2 levels.  Outputs stay one
+        # block per level (never concatenated — see the layout note below).
+        g_levels = [geo]
+        for i in range(1, num_levels):
+            g_levels.append(
+                _avgpool_last2(g_levels[-1])
+                if noisy is not None
+                else pyramid.geo_levels[i]
+            )
+        geo_parts = []
+        for i, gl in enumerate(g_levels):
+            di = gl.shape[-2]
+            binsi = jnp.arange(di, dtype=disp.dtype)
+            x0 = disp[..., None] * (2.0 ** -i) + dx
+            wgt_i = jnp.maximum(0.0, 1.0 - jnp.abs(x0[..., None] - binsi))
+            if gl.dtype == jnp.bfloat16:
+                wgt_i = wgt_i.astype(jnp.bfloat16)
+            else:
+                gl = gl.astype(wgt_i.dtype)
+            geo_parts.append(jnp.einsum("bhwjd,bhwdc->bhwjc", wgt_i, gl))
+        geo_out = None
+    else:
+        geo_parts = None
 
     # All pyramid levels as ONE contraction over the level-0 volume: sampling
     # the 2^i-avg-pooled volume at x_i = disp/2^i + dx is, by linearity of the
@@ -219,30 +337,41 @@ def geo_lookup(
     # broadcast per (level, tap)) — a jnp.concatenate of per-level parts
     # defeats XLA's operand fusion into the dot and materializes the
     # (B,H,W,L*J,D) tensor in HBM (measured +330 us/GRU-iter at 384x1248).
-    scale_vec = jnp.repeat(
-        2.0 ** -jnp.arange(num_levels, dtype=disp.dtype), j
-    )  # (L*J,)
-    dx_all = jnp.tile(dx, num_levels)  # (L*J,)
-    x0_all = disp[..., None] * scale_vec + dx_all  # (B, H, W, L*J)
-    bins_all = jnp.floor(bins[None, :] * scale_vec[:, None])  # (L*J, D)
-    wgt = (
-        jnp.maximum(0.0, 1.0 - jnp.abs(x0_all[..., None] - bins_all))
-        * scale_vec[:, None]
-    )
-    if noise_eff is not None:
-        assert noisy is None, "noise_eff and noisy are mutually exclusive"
-        # (B,H,W,L,D) → broadcast each level over its J taps.
-        wgt = wgt * jnp.repeat(noise_eff.astype(wgt.dtype), j, axis=-2)
-    if geo.dtype == jnp.bfloat16:
-        # Two nonzero taps per row: bf16 accumulation adds no error (see
-        # ops/sampling.py::hat_sample_last2 for the layout rationale).
-        wgt = wgt.astype(jnp.bfloat16)
-    else:
-        geo = geo.astype(wgt.dtype)
-    geo_out = jnp.einsum("bhwjd,bhwdc->bhwjc", wgt, geo)  # (B,H,W,L*J,C)
+    if geo_parts is None:
+        scale_vec = jnp.repeat(
+            2.0 ** -jnp.arange(num_levels, dtype=disp.dtype), j
+        )  # (L*J,)
+        dx_all = jnp.tile(dx, num_levels)  # (L*J,)
+        x0_all = disp[..., None] * scale_vec + dx_all  # (B, H, W, L*J)
+        bins_all = jnp.floor(bins[None, :] * scale_vec[:, None])  # (L*J, D)
+        wgt = (
+            jnp.maximum(0.0, 1.0 - jnp.abs(x0_all[..., None] - bins_all))
+            * scale_vec[:, None]
+        )
+        if noise_eff is not None:
+            assert noisy is None, "noise_eff and noisy are mutually exclusive"
+            # (B,H,W,L,D) → broadcast each level over its J taps.
+            wgt = wgt * jnp.repeat(noise_eff.astype(wgt.dtype), j, axis=-2)
+        if geo.dtype == jnp.bfloat16:
+            # Two nonzero taps per row: bf16 accumulation adds no error (see
+            # ops/sampling.py::hat_sample_last2 for the layout rationale).
+            wgt = wgt.astype(jnp.bfloat16)
+        else:
+            geo = geo.astype(wgt.dtype)
+        geo_out = jnp.einsum("bhwjd,bhwdc->bhwjc", wgt, geo)  # (B,H,W,L*J,C)
 
     corr_out = []
-    if pyramid.corr_levels:
+    if pyramid.band_levels:
+        # Band mode: positions relative to the per-level anchor ⌊w·2⁻ⁱ⌋.  The
+        # w-term collapses to the residue fraction (w·s − ⌊w·s⌋), so the hat
+        # contraction runs over `band` lanes instead of the full scanline.
+        for i, (bnd, off) in enumerate(zip(pyramid.band_levels, pyramid.band_offs)):
+            scale = 1.0 / (2 ** i)
+            cs = coords * scale
+            anchor = jnp.floor(cs)
+            p = (cs - anchor - disp * scale)[..., None] + dx + float(off)
+            corr_out.append(hat_sample_last2(bnd[..., None], p))  # (B,H,W,J,1)
+    elif pyramid.corr_levels:
         for i, corr in enumerate(pyramid.corr_levels):
             scale = 1.0 / (2 ** i)
             cx0 = (coords[..., None] - disp[..., None]) * scale + dx
@@ -271,21 +400,28 @@ def geo_lookup(
         # Canonical 162-channel order: [geo_0, corr_0, geo_1, corr_1].
         out = []
         for i, cr in enumerate(corr_out):
-            out.append(geo_out[..., i * j : (i + 1) * j, :])
+            g_i = geo_parts[i] if geo_parts else geo_out[..., i * j : (i + 1) * j, :]
+            out.append(g_i)
             out.append(cr)
         return jnp.concatenate([o.reshape(b, h, w, -1) for o in out], axis=-1)
 
-    # Pieces form: the geo block stays WHOLE — slicing it per level makes XLA
+    # Pieces form: each geo block stays WHOLE — slicing it per level makes XLA
     # materialize the slices at the loop boundary (measured +170 us/GRU-iter);
     # instead each piece carries the static kernel-row indices it corresponds
     # to in the canonical concat order, and BasicMotionEncoder contracts the
     # block against the row-gathered kernel in one einsum.
-    c_ = geo_out.shape[-1]
+    c_ = (geo_parts[0] if geo_parts else geo_out).shape[-1]
     jc = j * (c_ + 1)  # channels per level in canonical order
-    geo_rows = np.concatenate(
-        [np.arange(i * jc, i * jc + j * c_) for i in range(num_levels)]
-    )
-    pieces = [(geo_out, tuple(geo_rows.tolist()))]
+    if geo_parts:
+        pieces = [
+            (g_i, tuple(range(i * jc, i * jc + j * c_)))
+            for i, g_i in enumerate(geo_parts)
+        ]
+    else:
+        geo_rows = np.concatenate(
+            [np.arange(i * jc, i * jc + j * c_) for i in range(num_levels)]
+        )
+        pieces = [(geo_out, tuple(geo_rows.tolist()))]
     for i, cr in enumerate(corr_out):
         rows = np.arange(i * jc + j * c_, (i + 1) * jc)
         pieces.append((cr, tuple(rows.tolist())))

@@ -324,11 +324,16 @@ def igev_rollout(
             noise_eff = fold_reference_noise(noise_mod, model.corr_levels)
         elif noise_mode == "pixel":
             # Premultiply the level-0 volume with the noise (identical to the
-            # per-lookup multiply in geo_lookup; pooled levels are
-            # re-expressed as level-0 weights inside geo_lookup, so level 0 is
-            # all there is).
+            # per-lookup multiply in geo_lookup).  Any materialized pooled
+            # levels (geo_pool mode) are rebuilt from the product — pooling is
+            # linear, so this matches the coarsened level-0-hat formulation.
+            from diffuvolume_tpu.models.igev.geometry import _avgpool_last2
+
             nl = jnp.moveaxis(noise_mod, 1, 3)[..., None]  # (B, H, W, D, 1)
-            pyramid = pyramid._replace(geo_levels=(pyramid.geo_levels[0] * nl,))
+            gls = [pyramid.geo_levels[0] * nl]
+            for _ in range(len(pyramid.geo_levels) - 1):
+                gls.append(_avgpool_last2(gls[-1]))
+            pyramid = pyramid._replace(geo_levels=tuple(gls))
         else:
             raise ValueError(noise_mode)
 
@@ -435,7 +440,7 @@ def igev_rollout_ref_eval(
 
 
 def igev_encode(model: IGEVStereo, variables, left, right, train: bool = False,
-                rngs=None):
+                rngs=None, corr_mode: str | None = None):
     """Run the static encoder and build the geometry pyramid.
 
     Returns ``(enc, pyramid)`` (plus batch_stats updates appended to enc as
@@ -448,7 +453,7 @@ def igev_encode(model: IGEVStereo, variables, left, right, train: bool = False,
         enc = dict(enc)
         enc["batch_stats"] = updates["batch_stats"]
     pyramid = build_geo_pyramid(enc["match_l"], enc["match_r"], enc["gev"],
-                                num_levels=model.corr_levels)
+                                num_levels=model.corr_levels, corr_mode=corr_mode)
     return enc, pyramid
 
 
@@ -464,13 +469,15 @@ def igev_forward(
     test_mode: bool = False,
     rngs=None,
     noise_mode: str = "pixel",
+    corr_mode: str | None = None,
 ):
     """Full forward (igev_stereo_ddim.py:361-463).
 
     Returns train: ``(init_disp_up (B,H,W), disp_preds (iters,B,H,W),
     new_batch_stats|None)``; test_mode: final ``(B, H, W)`` disparity.
     """
-    enc, pyramid = igev_encode(model, variables, left, right, train, rngs)
+    enc, pyramid = igev_encode(model, variables, left, right, train, rngs,
+                               corr_mode=corr_mode)
     disp_ups = igev_rollout(
         model, variables, enc, pyramid, iters, noisy, t, train, test_mode,
         noise_mode,

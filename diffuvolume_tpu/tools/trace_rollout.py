@@ -27,6 +27,7 @@ def main(argv=None):
     p.add_argument("--outdir", default="/tmp/rollout_trace")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--no_noise", action="store_true", help="baseline (non-DDIM) rollout")
+    p.add_argument("--corr_mode", default=None, choices=["volume", "band", "rsamp"])
     args = p.parse_args(argv)
 
     from diffuvolume_tpu.models.igev.geometry import build_geo_pyramid
@@ -65,7 +66,8 @@ def main(argv=None):
     @jax.jit
     def run(enc, noisy, t):
         pyramid = build_geo_pyramid(enc["match_l"], enc["match_r"], enc["gev"],
-                                    num_levels=model.corr_levels)
+                                    num_levels=model.corr_levels,
+                                    corr_mode=args.corr_mode)
         return igev_rollout(model, variables, enc, pyramid, args.iters,
                             noisy=noisy, t=t, test_mode=True)
 

@@ -281,3 +281,65 @@ def test_geo_lookup_rsamp_matches_corr_volume():
     out_r = geo_lookup(pyr_r, disp, coords, radius=4)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_v),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_geo_lookup_band_matches_corr_volume():
+    """Diagonal-band corr lookup == dense lookup on its coverage domain.
+
+    Coverage: quarter-res disparity in [-1, band-12] (52 for the production
+    band=64).  Uses w=64 so band <= v+1 holds at level 1; disparities span
+    [0, 48] including edge pixels, so both zero-padding edges (x < 0 at the
+    left margin, x >= V at the right margin) are exercised.
+    """
+    rng = np.random.default_rng(13)
+    b, h, w, d, c = 1, 4, 64, 16, 8
+    ml = jnp.asarray(rng.standard_normal((b, h, w, 12)).astype(np.float32))
+    mr = jnp.asarray(rng.standard_normal((b, h, w, 12)).astype(np.float32))
+    gev = jnp.asarray(rng.standard_normal((b, d, h, w, c)).astype(np.float32))
+    # Level-1 width v+1 = 33 clamps the band there; coverage is then
+    # min(64-12, 2*(33-12)) = 42 quarter-res px.
+    disp = jnp.asarray(rng.uniform(0.0, 42.0, (b, h, w)).astype(np.float32))
+    coords = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, h, w))
+
+    pyr_v = build_geo_pyramid(ml, mr, gev, num_levels=2, corr_mode="volume")
+    pyr_b = build_geo_pyramid(ml, mr, gev, num_levels=2, corr_mode="band")
+    assert pyr_b.corr_levels == ()
+    assert pyr_b.band_levels[0].shape == (b, h, w, 64)
+    assert pyr_b.band_levels[1].shape == (b, h, w, 33)
+    out_v = geo_lookup(pyr_v, disp, coords, radius=4)
+    out_b = geo_lookup(pyr_b, disp, coords, radius=4)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_v),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_geo_lookup_pooled_matches_coarsened():
+    """Materialized-pooled-level lookup == coarsened level-0-hat lookup,
+    in both concat and pieces form, with and without the noise multiply."""
+    rng = np.random.default_rng(17)
+    b, h, w, d, c = 1, 4, 16, 16, 8
+    ml = jnp.asarray(rng.standard_normal((b, h, w, 12)).astype(np.float32))
+    mr = jnp.asarray(rng.standard_normal((b, h, w, 12)).astype(np.float32))
+    gev = jnp.asarray(rng.standard_normal((b, d, h, w, c)).astype(np.float32))
+    disp = jnp.asarray(rng.uniform(0.0, d - 2.0, (b, h, w)).astype(np.float32))
+    noisy = jnp.asarray(rng.uniform(0.0, 1.0, (b, d, h, w)).astype(np.float32))
+    coords = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (b, h, w))
+
+    pyr_a = build_geo_pyramid(ml, mr, gev, num_levels=2, geo_pool=False)
+    pyr_p = build_geo_pyramid(ml, mr, gev, num_levels=2, geo_pool=True)
+    assert len(pyr_p.geo_levels) == 2
+    assert pyr_p.geo_levels[1].shape == (b, h, w, d // 2, c)
+    for nz in (None, noisy):
+        out_a = geo_lookup(pyr_a, disp, coords, noisy=nz, radius=4)
+        out_p = geo_lookup(pyr_p, disp, coords, noisy=nz, radius=4)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_a),
+                                   rtol=1e-4, atol=1e-5)
+        pcs_a = geo_lookup(pyr_a, disp, coords, noisy=nz, radius=4, concat=False)
+        pcs_p = geo_lookup(pyr_p, disp, coords, noisy=nz, radius=4, concat=False)
+        # pieces differ in grouping; compare via canonical row order
+        def canon(pieces):
+            full = np.zeros((b, h, w, 2 * 9 * (c + 1)), np.float32)
+            for arr, rows in pieces:
+                flat = np.asarray(arr).reshape(b, h, w, -1)
+                full[..., list(rows)] = flat
+            return full
+        np.testing.assert_allclose(canon(pcs_p), canon(pcs_a), rtol=1e-4, atol=1e-5)
