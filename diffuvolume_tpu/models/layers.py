@@ -68,22 +68,28 @@ def _conv3d_2d_enabled() -> bool:
     return os.environ.get("DIFFU_CONV3D_2D", "0") == "1"
 
 
-def _pallas_conv3d_enabled() -> bool:
-    """Use the Pallas packed conv3d on the TPU inference path.
+def _pallas_conv3d_version() -> int:
+    """Pallas conv3d kernel selection for the TPU inference path.
 
-    Opt-in with DIFFU_PALLAS_CONV3D=1.  Measured on v5e at (48,128,240):
-    the packed kernel reaches parity with XLA's conv3d (both ~5 ms for C=32) —
-    XLA is im2col-HBM-bound, the kernel is VPU-copy-bound on its 27 shifted
-    operand views — so it stays opt-in until the tap shifts can stream without
-    materializing (e.g. lane-rolled layouts or manual DMA).  CPU/GPU always
-    use the XLA conv (the kernel is Mosaic-only; tests exercise it via
-    interpret mode).
+    DIFFU_PALLAS_CONV3D: "0" = XLA conv (default), "1" = v1 lane-packed
+    kernel, "2" = v2 fold kernel (phase-halo lanes + aligned dy strides).
+    Measured on v5e, C=32 at (48,128,240) bf16 inside a fori_loop:
+    XLA 33 ms (loop-boundary layout churn; ~5 ms inside the real aggregation
+    program), v1 ~5 ms, v2 5.1 ms.  End-to-end the v2 default made bench.py
+    WORSE (2.59 → 1.36 pairs/s): the pack/unpack relayout around every
+    pallas_call plus the lost BN/ReLU fusion outweigh the kernel win, so XLA
+    stays the default until the kernel itself clears ~1.5 ms (next: avoid the
+    9× block refetch, 128-multiple K windows, packed-layout persistence
+    across the hourglass).  CPU/GPU always use the XLA conv (the kernels are
+    Mosaic-only; tests exercise them via interpret mode).
     """
     import os
 
     from diffuvolume_tpu.utils.platform import is_tpu_lowering
 
-    return os.environ.get("DIFFU_PALLAS_CONV3D", "0") == "1" and is_tpu_lowering()
+    if not is_tpu_lowering():
+        return 0
+    return int(os.environ.get("DIFFU_PALLAS_CONV3D", "0"))
 
 
 class _ConvKernel(nn.Module):
@@ -144,7 +150,14 @@ class ConvBN(nn.Module):
         if pallas_ok:
             # Same param tree as nn.Conv; execution path chosen at trace time.
             kernel = _ConvKernel((*k, c_in, self.features), name="conv")()
-            if not train and _pallas_conv3d_enabled():
+            pallas_v = _pallas_conv3d_version() if not train else 0
+            if pallas_v == 2:
+                from diffuvolume_tpu.ops.pallas.conv3d import conv3d_fold
+
+                x = conv3d_fold(
+                    x.astype(self.dtype), kernel.astype(self.dtype), relu=False
+                )
+            elif pallas_v == 1:
                 from diffuvolume_tpu.ops.pallas.conv3d import conv3d_packed
 
                 x = conv3d_packed(

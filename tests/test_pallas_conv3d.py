@@ -6,7 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from diffuvolume_tpu.ops.pallas.conv3d import _banded_weights, conv3d_packed
+from diffuvolume_tpu.ops.pallas.conv3d import (_banded_weights, conv3d_fold,
+                                               conv3d_packed)
 
 pytestmark = pytest.mark.slow
 
@@ -73,3 +74,20 @@ def test_convbn_param_tree_unchanged_by_pallas_branch():
     v2 = mod2.init(jax.random.PRNGKey(0), x3b, train=False)
     assert set(v2["params"]) == {"conv", "bn"}
     assert v2["params"]["conv"]["kernel"].shape == (3, 3, 3, 48, 32)
+
+
+@pytest.mark.parametrize("c,co,d,h,w", [(32, 32, 8, 11, 17), (64, 64, 4, 9, 10),
+                                        (128, 128, 3, 8, 9), (32, 64, 8, 7, 12)])
+def test_conv3d_fold_matches_xla(c, co, d, h, w):  # noqa: F811
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, d, h, w, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, c, co)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+    want = np.asarray(_oracle(x, k, b))
+    for fold in (False, True):
+        got = np.asarray(
+            conv3d_fold(x, k, b, relu=False, tile_h=4, interpret=True, fold_dx=fold)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+    got_r = np.asarray(conv3d_fold(x, k, b, relu=True, tile_h=4, interpret=True))
+    np.testing.assert_allclose(got_r, np.maximum(want, 0.0), rtol=1e-4, atol=2e-4)
