@@ -97,6 +97,16 @@ class BasicConvBN(nn.Module):
             x = ConvTransposeBN(
                 self.features, k, s, p, 0, use_bn=False, dtype=self.dtype, name="conv"
             )(x)
+        elif (ndim == 3 and k == (3, 3, 3) and s == (1, 1, 1) and p == (1, 1, 1)
+              and x.shape[-1] in (8, 16, 32, 64, 128)
+              and x.shape[1] % (128 // x.shape[-1]) == 0):
+            # Small-channel 3D convs (corr_stem 8ch, GEV hourglass aggs) run
+            # ~100× off SOL through XLA's conv; route through the channel-
+            # aware conv3x3x3 dispatch (same nn.Conv param tree).
+            from diffuvolume_tpu.models.layers import _ConvKernel, conv3x3x3
+
+            kernel = _ConvKernel((*k, x.shape[-1], self.features), name="conv")()
+            x = conv3x3x3(x, kernel, train=train, dtype=self.dtype)
         else:
             x = nn.Conv(
                 self.features, k, s, [(pi, pi) for pi in p], use_bias=False,

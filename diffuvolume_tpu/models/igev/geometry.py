@@ -151,7 +151,10 @@ def build_geo_pyramid(
       geo_pool: materialize the avg-pooled geo levels so level i contracts
         J·D/2ⁱ·C per iteration instead of J·D·C via coarsened level-0 hats
         (exact either way, by linearity of pooling).  ``None`` →
-        ``$DIFFU_GEO_POOL1`` (default off).
+        ``$DIFFU_GEO_POOL1`` (default off — MEASURED WORSE on v5e at
+        384×1248: 2.35 → 2.87 ms/GRU-iter; the pooled (…,24,8) volume's
+        lane-padded layout makes the level-1 einsum cost as much as the
+        full 48-bin one, 204 µs each vs 194 combined).
     """
     geo = jnp.moveaxis(geo_volume, 1, 3)  # (B, H, W, D, C)
     if geo_pool is None:

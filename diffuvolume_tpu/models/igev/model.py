@@ -36,7 +36,13 @@ from diffuvolume_tpu.models.igev.extractor import (
 )
 from diffuvolume_tpu.models.igev.geometry import build_geo_pyramid
 from diffuvolume_tpu.models.igev.update import BasicMultiUpdateBlock
-from diffuvolume_tpu.models.layers import ConvTransposeBN, DynamicHead, torch_conv_init
+from diffuvolume_tpu.models.layers import (
+    ConvTransposeBN,
+    DynamicHead,
+    _ConvKernel,
+    conv3x3x3,
+    torch_conv_init,
+)
 from diffuvolume_tpu.ops.cost_volume import build_gwc_volume
 from diffuvolume_tpu.ops.regression import disparity_regression
 from diffuvolume_tpu.ops.sampling import context_upsample
@@ -158,8 +164,10 @@ class IGEVStereo(nn.Module):
         self.corr_stem = BasicConvBN(8, 3, 1, 1, dtype=dt)
         self.corr_feature_att = FeatureAtt(8, dt)
         self.cost_agg = HourglassGEV(8, dt)
-        self.classifier = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-                                  kernel_init=torch_conv_init((3, 3, 3)), dtype=dt)
+        # Parameter holder with nn.Conv's exact tree (classifier/kernel); the
+        # 8→1 conv itself goes through the conv3x3x3 dispatch (the XLA conv
+        # runs ~2.5 ms at 384×1248 for 0.6 real GFLOP).
+        self.classifier = _ConvKernel((3, 3, 3, 8, 1))
 
     def _stem(self, ops, x, train):
         conv_in, conv2, inorm = ops
@@ -191,7 +199,10 @@ class IGEVStereo(nn.Module):
         gwc = self.corr_feature_att(gwc, feat_l[0], train)
         gev = self.cost_agg(gwc, feat_l, train)
 
-        prob = jax.nn.softmax(self.classifier(gev)[..., 0], axis=1)
+        prob = jax.nn.softmax(
+            conv3x3x3(gev, self.classifier(), train=train, dtype=self.dtype)[..., 0],
+            axis=1,
+        )
         init_disp = disparity_regression(prob, self.max_disp // 4)
 
         cnet_list = self.cnet(left_n, train)

@@ -68,7 +68,87 @@ def _conv3d_2d_enabled() -> bool:
     return os.environ.get("DIFFU_CONV3D_2D", "0") == "1"
 
 
-def _pallas_conv3d_version() -> int:
+def conv3x3x3(x: jax.Array, kernel: jax.Array, train: bool = False,
+              dtype=None) -> jax.Array:
+    """3×3×3 stride-1 pad-1 conv dispatch for ``(B, D, H, W, C)`` volumes.
+
+    Routes eligible shapes through the Pallas fold kernel per the channel-
+    aware policy of ``_pallas_conv3d_version``; otherwise (or on CPU/GPU/
+    training) the XLA conv.  ``kernel`` is ``(3, 3, 3, C, Co)`` HWIO.
+    """
+    c_in = x.shape[-1]
+    dt = dtype or x.dtype
+    version = 0 if train else _pallas_conv3d_version(c_in)
+    eligible = (
+        c_in in (8, 16, 32, 64, 128)
+        and x.shape[1] % (128 // c_in) == 0
+    )
+    if version and eligible:
+        from diffuvolume_tpu.ops.pallas import conv3d as pconv
+
+        fn = pconv.conv3d_fold if version == 2 else pconv.conv3d_packed
+        # Narrow W tiles at tile_h=8 exceed the 16 MB VMEM with 9 input
+        # blocks in flight; halve the tile for wide volumes.
+        th = 8 if x.shape[3] <= 258 else 4
+        return fn(x.astype(dt), kernel.astype(dt), tile_h=th)
+    return jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def conv3x3x3_fast(x: jax.Array, train: bool = False) -> bool:
+    """True when conv3x3x3 would take the Pallas fast path for this input."""
+    c_in = x.shape[-1]
+    return (
+        not train
+        and c_in in (8, 16, 32, 64, 128)
+        and x.shape[1] % (128 // c_in) == 0
+        and _pallas_conv3d_version(c_in) > 0
+    )
+
+
+def deconv3d_422_phases(x: jax.Array, kernel: jax.Array, train: bool = False,
+                        dtype=None) -> jax.Array:
+    """ConvTranspose3d(k=4, s=2, p=1, op=0) as one 3×3×3 conv + interleave.
+
+    ``kernel`` is the pre-flipped ``(4,4,4,Ci,Co)`` parameter of
+    ConvTransposeBN.  Each output phase p∈{0,1} per dim is a 2-tap subconv of
+    the centered input window (even: taps t=2τ at τ∈{0,1}; odd: t=2τ-1 at
+    τ∈{1,2}), so the whole deconv is a single 3×3×3 conv with 8·Co
+    phase-structured outputs followed by a subpixel interleave — which the
+    Pallas fold kernel runs ~20× faster than XLA's lhs-dilated conv at the
+    IGEV GEV shapes (small channels on a 2×-dilated input).
+    Exact: oracle-tested against the lhs-dilated form.
+    """
+    ci, co = kernel.shape[3], kernel.shape[4]
+
+    def take_phase(k, axis):
+        # (…4…) tap axis → (…3, 2…): out[τ, p] = k[2τ - p] if 0 ≤ 2τ-p < 4,
+        # else 0 (invalid at (τ=0,p=1) → t=-1 and (τ=2,p=0) → t=4).
+        idx = np.clip([[0, -1], [2, 1], [4, 3]], 0, 3)
+        mask = np.array([[True, False], [True, True], [False, True]])
+        taken = jnp.take(k, jnp.asarray(idx.reshape(-1)), axis=axis)
+        shp = list(k.shape)
+        shp[axis : axis + 1] = [3, 2]
+        taken = taken.reshape(shp)
+        m_shape = [1] * len(shp)
+        m_shape[axis], m_shape[axis + 1] = 3, 2
+        return taken * jnp.asarray(mask, k.dtype).reshape(m_shape)
+
+    k = take_phase(kernel, 0)          # (3,2,4,4,ci,co)
+    k = take_phase(k, 2)               # (3,2,3,2,4,ci,co)
+    k = take_phase(k, 4)               # (3,2,3,2,3,2,ci,co)
+    k3 = jnp.transpose(k, (0, 2, 4, 6, 1, 3, 5, 7)).reshape(3, 3, 3, ci, 8 * co)
+
+    out3 = conv3x3x3(x, k3, train=train, dtype=dtype)  # (B,D,H,W,8co)
+    b, d, h, w, _ = out3.shape
+    out = out3.reshape(b, d, h, w, 2, 2, 2, co)
+    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3, 6, 7))
+    return out.reshape(b, 2 * d, 2 * h, 2 * w, co)
+
+
+def _pallas_conv3d_version(c_in: int = 32) -> int:
     """Pallas conv3d kernel selection for the TPU inference path.
 
     DIFFU_PALLAS_CONV3D: "0" = XLA conv (default), "1" = v1 lane-packed
@@ -80,7 +160,14 @@ def _pallas_conv3d_version() -> int:
     pallas_call plus the lost BN/ReLU fusion outweigh the kernel win, so XLA
     stays the default until the kernel itself clears ~1.5 ms (next: avoid the
     9× block refetch, 128-multiple K windows, packed-layout persistence
-    across the hourglass).  CPU/GPU always use the XLA conv (the kernels are
+    across the hourglass).
+
+    SMALL channels are a different regime: at C=8/16 (IGEV corr_stem,
+    classifier, GEV hourglass aggs) XLA's conv runs ~100× off SOL
+    (corr_stem 2.9 ms for 5 real GFLOP) while the fold kernel packs 16/8
+    depth phases into full 128-lane operands — v2 is the DEFAULT there
+    (DIFFU_PALLAS_CONV3D_SMALLC overrides).  CPU/GPU always use the XLA
+    conv (the kernels are
     Mosaic-only; tests exercise them via interpret mode).
     """
     import os
@@ -89,6 +176,8 @@ def _pallas_conv3d_version() -> int:
 
     if not is_tpu_lowering():
         return 0
+    if c_in <= 16:
+        return int(os.environ.get("DIFFU_PALLAS_CONV3D_SMALLC", "2"))
     return int(os.environ.get("DIFFU_PALLAS_CONV3D", "0"))
 
 
@@ -144,26 +233,13 @@ class ConvBN(nn.Module):
             and p == (1, 1, 1)
             and d == (1, 1, 1)
             and self.groups == 1
-            and c_in in (32, 64, 128)
+            and c_in in (8, 16, 32, 64, 128)
             and x.shape[1] % (128 // c_in) == 0
         )
         if pallas_ok:
             # Same param tree as nn.Conv; execution path chosen at trace time.
             kernel = _ConvKernel((*k, c_in, self.features), name="conv")()
-            pallas_v = _pallas_conv3d_version() if not train else 0
-            if pallas_v == 2:
-                from diffuvolume_tpu.ops.pallas.conv3d import conv3d_fold
-
-                x = conv3d_fold(
-                    x.astype(self.dtype), kernel.astype(self.dtype), relu=False
-                )
-            elif pallas_v == 1:
-                from diffuvolume_tpu.ops.pallas.conv3d import conv3d_packed
-
-                x = conv3d_packed(
-                    x.astype(self.dtype), kernel.astype(self.dtype), relu=False
-                )
-            elif _conv3d_2d_enabled():
+            if _conv3d_2d_enabled() and (train or not _pallas_conv3d_version(c_in)):
                 from diffuvolume_tpu.ops.conv3d_2d import conv3d_via_2d
 
                 x = conv3d_via_2d(
@@ -171,13 +247,7 @@ class ConvBN(nn.Module):
                     (1, 1, 1), (1, 1, 1), (1, 1, 1), 1,
                 )
             else:
-                x = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype),
-                    kernel.astype(self.dtype),
-                    (1, 1, 1),
-                    [(1, 1)] * 3,
-                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                )
+                x = conv3x3x3(x, kernel, train=train, dtype=self.dtype)
         elif ndim == 3 and _conv3d_2d_enabled() and not bias:
             from diffuvolume_tpu.ops.conv3d_2d import conv3d_via_2d
 
@@ -336,14 +406,20 @@ class ConvTransposeBN(nn.Module):
             2: ("NHWC", "HWIO", "NHWC"),
             3: ("NDHWC", "DHWIO", "NDHWC"),
         }[ndim]
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1,) * ndim,
-            padding=pad,
-            lhs_dilation=s,
-            dimension_numbers=dn_spec,
-        )
+        if (ndim == 3 and k == (4, 4, 4) and s == (2, 2, 2) and p == (1, 1, 1)
+                and op == (0, 0, 0) and conv3x3x3_fast(x, train)):
+            # XLA's lhs-dilated conv is ~20× off even its own conv3d at the
+            # small-channel GEV shapes; run as phase-decomposed 3×3×3.
+            y = deconv3d_422_phases(x, kernel, train=train, dtype=self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1,) * ndim,
+                padding=pad,
+                lhs_dilation=s,
+                dimension_numbers=dn_spec,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)

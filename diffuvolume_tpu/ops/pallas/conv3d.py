@@ -244,6 +244,15 @@ def conv3d_fold(
     assert k3.shape[:4] == (3, 3, 3, c), k3.shape
     p = 128 // c
     assert c * p == 128 and d % p == 0, (c, d)
+    if co < c:
+        # Pad the output channels so the matmul N dim stays ≥128 lanes (e.g.
+        # the IGEV classifier's 8→1 head); sliced off after the unpack.
+        k3 = jnp.pad(k3, ((0, 0),) * 4 + ((0, c - co),))
+        if bias is not None:
+            bias = jnp.pad(bias, (0, c - co))
+        co_real, co = co, c
+    else:
+        co_real = co
     lw = (p + 2) * c          # window lanes (phase halo)
     n_lanes = p * co
     th = tile_h
@@ -344,8 +353,9 @@ def conv3d_fold(
     # Out (y, x) is the conv centered at padded (y+1, x+1): cols 0..w-1 are
     # real; cols ≥ w absorbed the halo/flat-shift wrap — drop them.
     out = out[:, :, :h, :w]
-    return (
+    out = (
         out.reshape(b, cells, h, w, p, co)
         .transpose(0, 1, 4, 2, 3, 5)
         .reshape(b, d, h, w, co)
     )
+    return out[..., :co_real]

@@ -77,7 +77,9 @@ def test_convbn_param_tree_unchanged_by_pallas_branch():
 
 
 @pytest.mark.parametrize("c,co,d,h,w", [(32, 32, 8, 11, 17), (64, 64, 4, 9, 10),
-                                        (128, 128, 3, 8, 9), (32, 64, 8, 7, 12)])
+                                        (128, 128, 3, 8, 9), (32, 64, 8, 7, 12),
+                                        (8, 8, 16, 7, 9), (8, 1, 16, 6, 9),
+                                        (16, 8, 8, 6, 10)])
 def test_conv3d_fold_matches_xla(c, co, d, h, w):  # noqa: F811
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((1, d, h, w, c)).astype(np.float32))
@@ -91,3 +93,21 @@ def test_conv3d_fold_matches_xla(c, co, d, h, w):  # noqa: F811
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
     got_r = np.asarray(conv3d_fold(x, k, b, relu=True, tile_h=4, interpret=True))
     np.testing.assert_allclose(got_r, np.maximum(want, 0.0), rtol=1e-4, atol=2e-4)
+
+
+def test_deconv3d_422_phases_matches_dilated():
+    """Phase-decomposed ConvTranspose3d(4,2,1) == lhs-dilated conv oracle."""
+    from diffuvolume_tpu.models.layers import deconv3d_422_phases
+
+    rng = np.random.default_rng(23)
+    ci, co, d, h, w = 16, 8, 8, 6, 10
+    x = jnp.asarray(rng.standard_normal((1, d, h, w, ci)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((4, 4, 4, ci, co)).astype(np.float32)) * 0.1
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), [(2, 2)] * 3, lhs_dilation=(2, 2, 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    got = deconv3d_422_phases(x, k)  # CPU: conv3x3x3 falls back to XLA conv
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
