@@ -102,7 +102,9 @@ class BasicConvBN(nn.Module):
               and x.shape[1] % (128 // x.shape[-1]) == 0):
             # Small-channel 3D convs (corr_stem 8ch, GEV hourglass aggs) run
             # ~100× off SOL through XLA's conv; route through the channel-
-            # aware conv3x3x3 dispatch (same nn.Conv param tree).
+            # aware conv3x3x3 dispatch (same nn.Conv param tree).  Stride-2
+            # convs stay on XLA: running the kernel at stride 1 + [::2]³ was
+            # measured a wash (the strided slice lowers as a 3.6 ms gather).
             from diffuvolume_tpu.models.layers import _ConvKernel, conv3x3x3
 
             kernel = _ConvKernel((*k, x.shape[-1], self.features), name="conv")()

@@ -69,16 +69,23 @@ def _conv3d_2d_enabled() -> bool:
 
 
 def conv3x3x3(x: jax.Array, kernel: jax.Array, train: bool = False,
-              dtype=None) -> jax.Array:
+              dtype=None, force: bool = False) -> jax.Array:
     """3×3×3 stride-1 pad-1 conv dispatch for ``(B, D, H, W, C)`` volumes.
 
     Routes eligible shapes through the Pallas fold kernel per the channel-
     aware policy of ``_pallas_conv3d_version``; otherwise (or on CPU/GPU/
     training) the XLA conv.  ``kernel`` is ``(3, 3, 3, C, Co)`` HWIO.
+    ``force=True`` takes the Pallas path for any eligible shape at eval
+    regardless of the per-channel default (used where the XLA alternative is
+    a known-pathological form, e.g. lhs-dilated deconvs).
     """
+    from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
     c_in = x.shape[-1]
     dt = dtype or x.dtype
     version = 0 if train else _pallas_conv3d_version(c_in)
+    if force and not train and is_tpu_lowering():
+        version = version or 2
     eligible = (
         c_in in (8, 16, 32, 64, 128)
         and x.shape[1] % (128 // c_in) == 0
@@ -97,14 +104,18 @@ def conv3x3x3(x: jax.Array, kernel: jax.Array, train: bool = False,
     )
 
 
-def conv3x3x3_fast(x: jax.Array, train: bool = False) -> bool:
+def conv3x3x3_fast(x: jax.Array, train: bool = False,
+                   force: bool = False) -> bool:
     """True when conv3x3x3 would take the Pallas fast path for this input."""
+    from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
     c_in = x.shape[-1]
     return (
         not train
+        and is_tpu_lowering()
         and c_in in (8, 16, 32, 64, 128)
         and x.shape[1] % (128 // c_in) == 0
-        and _pallas_conv3d_version(c_in) > 0
+        and (force or _pallas_conv3d_version(c_in) > 0)
     )
 
 
@@ -141,7 +152,7 @@ def deconv3d_422_phases(x: jax.Array, kernel: jax.Array, train: bool = False,
     k = take_phase(k, 4)               # (3,2,3,2,3,2,ci,co)
     k3 = jnp.transpose(k, (0, 2, 4, 6, 1, 3, 5, 7)).reshape(3, 3, 3, ci, 8 * co)
 
-    out3 = conv3x3x3(x, k3, train=train, dtype=dtype)  # (B,D,H,W,8co)
+    out3 = conv3x3x3(x, k3, train=train, dtype=dtype, force=True)  # (B,D,H,W,8co)
     b, d, h, w, _ = out3.shape
     out = out3.reshape(b, d, h, w, 2, 2, 2, co)
     out = jnp.transpose(out, (0, 1, 4, 2, 5, 3, 6, 7))
@@ -407,9 +418,10 @@ class ConvTransposeBN(nn.Module):
             3: ("NDHWC", "DHWIO", "NDHWC"),
         }[ndim]
         if (ndim == 3 and k == (4, 4, 4) and s == (2, 2, 2) and p == (1, 1, 1)
-                and op == (0, 0, 0) and conv3x3x3_fast(x, train)):
-            # XLA's lhs-dilated conv is ~20× off even its own conv3d at the
-            # small-channel GEV shapes; run as phase-decomposed 3×3×3.
+                and op == (0, 0, 0) and conv3x3x3_fast(x, train, force=True)):
+            # XLA's lhs-dilated conv is pathological at the GEV shapes
+            # (conv2_up c=32 at (12,24,78): 1.5 ms for 5 real GFLOP); run as
+            # phase-decomposed 3×3×3 at any supported channel count.
             y = deconv3d_422_phases(x, kernel, train=train, dtype=self.dtype)
         else:
             y = jax.lax.conv_general_dilated(

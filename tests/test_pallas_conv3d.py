@@ -111,3 +111,16 @@ def test_deconv3d_422_phases_matches_dilated():
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_stride2_equals_stride1_subsample():
+    """BasicConvBN's stride-2 rewrite: strided conv == stride-1 conv [::2]."""
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.standard_normal((1, 8, 10, 12, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 16)).astype(np.float32))
+    s2 = jax.lax.conv_general_dilated(
+        x, k, (2, 2, 2), [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    s1 = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(s1[:, ::2, ::2, ::2]), np.asarray(s2),
+                               rtol=1e-5, atol=1e-5)
