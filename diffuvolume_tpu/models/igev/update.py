@@ -225,6 +225,22 @@ class BasicMultiUpdateBlock(nn.Module):
                  iter04=True, iter08=True, iter16=True, update=True):
         dt = self.dtype
         hd = self.hidden_dims
+        import os
+
+        # The zr and q convs consume identical non-hidden operands; with
+        # merge on, [motion, interp] (and [pool, interp] at 1/8) concatenate
+        # ONCE so each gate pass runs 2 piece-convs instead of 3 (one less
+        # cross-piece f32 add per gate).  Measured a WASH on v5e at 384×1248
+        # (46.07 vs 46.33 ms/31-iter scan): the concat-fed conv pays a
+        # relayout fusion (~193 µs/iter) that cancels the saved adds — kept
+        # off by default as a documented A/B.
+        merge = os.environ.get("DIFFU_GRU_MERGE", "0") == "1"
+
+        def xs(*pieces):
+            if merge and len(pieces) > 1:
+                return (jnp.concatenate(pieces, axis=-1),)
+            return pieces
+
         net = list(net)
         if iter16:
             net[2] = ConvGRU(hd[0], dt, name="gru16")(
@@ -233,7 +249,8 @@ class BasicMultiUpdateBlock(nn.Module):
         if iter08:
             if self.n_gru_layers > 2:
                 net[1] = ConvGRU(hd[1], dt, name="gru08")(
-                    net[1], *inp[1], pool2x(net[0]), interp_to(net[2], net[1])
+                    net[1], *inp[1],
+                    *xs(pool2x(net[0]), interp_to(net[2], net[1])),
                 )
             else:
                 net[1] = ConvGRU(hd[1], dt, name="gru08")(
@@ -244,7 +261,8 @@ class BasicMultiUpdateBlock(nn.Module):
             motion = BasicMotionEncoder(corr_planes, dt, name="encoder")(disp, corr)
             if self.n_gru_layers > 1:
                 net[0] = ConvGRU(hd[2], dt, name="gru04")(
-                    net[0], *inp[0], motion, interp_to(net[1], net[0])
+                    net[0], *inp[0],
+                    *xs(motion, interp_to(net[1], net[0])),
                 )
             else:
                 net[0] = ConvGRU(hd[2], dt, name="gru04")(net[0], *inp[0], motion)

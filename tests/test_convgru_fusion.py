@@ -158,3 +158,28 @@ def test_split_pieces_match_unfused_multi_x():
         variables["params"], h, cz, cr, cq, jnp.concatenate([x1, x2], axis=-1)
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_gru_merge_env_equivalence(monkeypatch):
+    """DIFFU_GRU_MERGE=1 (pre-concatenated x pieces) == default pieces form."""
+    from diffuvolume_tpu.models.igev.update import BasicMultiUpdateBlock
+
+    rng = np.random.RandomState(11)
+    b, h4, w4 = 1, 8, 12
+    blk = BasicMultiUpdateBlock(hidden_dims=(16, 16, 16), corr_levels=2,
+                                corr_radius=4)
+    net = [jnp.asarray(rng.randn(b, h4 // 2**i, w4 // 2**i, 16), jnp.float32)
+           for i in range(3)]
+    inp = [tuple(jnp.asarray(rng.randn(b, h4 // 2**i, w4 // 2**i, 16), jnp.float32)
+                 for _ in range(3)) for i in range(3)]
+    corr = jnp.asarray(rng.randn(b, h4, w4, 2 * 9 * 9), jnp.float32)
+    disp = jnp.asarray(rng.randn(b, h4, w4, 1), jnp.float32)
+
+    variables = blk.init(jax.random.PRNGKey(1), net, inp, corr, disp)
+    monkeypatch.delenv("DIFFU_GRU_MERGE", raising=False)
+    net_a, mask_a, d_a = blk.apply(variables, net, inp, corr, disp)
+    monkeypatch.setenv("DIFFU_GRU_MERGE", "1")
+    net_b, mask_b, d_b = blk.apply(variables, net, inp, corr, disp)
+    for a_, b_ in zip([*net_a, mask_a, d_a], [*net_b, mask_b, d_b]):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
