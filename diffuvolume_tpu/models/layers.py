@@ -120,25 +120,31 @@ def conv3x3x3_fast(x: jax.Array, train: bool = False,
 
 
 def deconv3d_422_phases(x: jax.Array, kernel: jax.Array, train: bool = False,
-                        dtype=None) -> jax.Array:
-    """ConvTranspose3d(k=4, s=2, p=1, op=0) as one 3×3×3 conv + interleave.
+                        dtype=None, out_pad: int = 0) -> jax.Array:
+    """Stride-2 ConvTranspose3d as one 3×3×3 conv + subpixel interleave.
 
-    ``kernel`` is the pre-flipped ``(4,4,4,Ci,Co)`` parameter of
-    ConvTransposeBN.  Each output phase p∈{0,1} per dim is a 2-tap subconv of
-    the centered input window (even: taps t=2τ at τ∈{0,1}; odd: t=2τ-1 at
-    τ∈{1,2}), so the whole deconv is a single 3×3×3 conv with 8·Co
-    phase-structured outputs followed by a subpixel interleave — which the
-    Pallas fold kernel runs ~20× faster than XLA's lhs-dilated conv at the
-    IGEV GEV shapes (small channels on a 2×-dilated input).
-    Exact: oracle-tested against the lhs-dilated form.
+    Supports the two reference deconv shapes: ``(k=4, p=1, op=0)`` and
+    ``(k=3, p=1, op=1)`` (``out_pad`` selects).  ``kernel`` is the
+    pre-flipped ``(k,k,k,Ci,Co)`` parameter of ConvTransposeBN.  Each output
+    phase ph∈{0,1} per dim is a ≤2-tap subconv of the centered input window:
+    with ``pl = k-1-p``, window tap τ holds kernel tap ``t = 2τ + (pl-2) -
+    ph`` when ``0 ≤ t < k``, zero otherwise.  The whole deconv is then a
+    single 3×3×3 conv with 8·Co phase-structured outputs followed by a
+    subpixel interleave — which the Pallas fold kernel runs far faster than
+    XLA's lhs-dilated conv at the cost-volume shapes.
+    Exact: oracle-tested against the lhs-dilated form for both shapes.
     """
+    kk = kernel.shape[0]
+    assert (kk, out_pad) in ((4, 0), (3, 1)), (kk, out_pad)
+    pl = kk - 2  # k-1-p with p=1
     ci, co = kernel.shape[3], kernel.shape[4]
 
     def take_phase(k, axis):
-        # (…4…) tap axis → (…3, 2…): out[τ, p] = k[2τ - p] if 0 ≤ 2τ-p < 4,
-        # else 0 (invalid at (τ=0,p=1) → t=-1 and (τ=2,p=0) → t=4).
-        idx = np.clip([[0, -1], [2, 1], [4, 3]], 0, 3)
-        mask = np.array([[True, False], [True, True], [False, True]])
+        # (…k…) tap axis → (…3, 2…): out[τ, ph] = k[2τ + (pl-2) - ph] when
+        # the tap index lands in [0, k), else 0.
+        t = 2 * np.arange(3)[:, None] + (pl - 2) - np.arange(2)[None, :]
+        mask = (t >= 0) & (t < kk)
+        idx = np.clip(t, 0, kk - 1)
         taken = jnp.take(k, jnp.asarray(idx.reshape(-1)), axis=axis)
         shp = list(k.shape)
         shp[axis : axis + 1] = [3, 2]
@@ -417,12 +423,18 @@ class ConvTransposeBN(nn.Module):
             2: ("NHWC", "HWIO", "NHWC"),
             3: ("NDHWC", "DHWIO", "NDHWC"),
         }[ndim]
-        if (ndim == 3 and k == (4, 4, 4) and s == (2, 2, 2) and p == (1, 1, 1)
-                and op == (0, 0, 0) and conv3x3x3_fast(x, train, force=True)):
-            # XLA's lhs-dilated conv is pathological at the GEV shapes
-            # (conv2_up c=32 at (12,24,78): 1.5 ms for 5 real GFLOP); run as
-            # phase-decomposed 3×3×3 at any supported channel count.
-            y = deconv3d_422_phases(x, kernel, train=train, dtype=self.dtype)
+        if (ndim == 3 and s == (2, 2, 2) and p == (1, 1, 1)
+                and (k, op) in (((4,) * 3, (0,) * 3), ((3,) * 3, (1,) * 3))
+                and conv3x3x3_fast(x, train, force=x.shape[-1] <= 32)):
+            # XLA's lhs-dilated conv is pathological at the small-channel
+            # cost-volume shapes (IGEV conv1_up c=16: 3.8→1.2 ms/model;
+            # conv2_up c=32 at (12,24,78): 1.5 ms for 5 real GFLOP) — run
+            # those as phase-decomposed 3×3×3.  At C=64/128 the phase path
+            # REGRESSES (ACV hourglass deconvs: bench 2.59→1.64 pairs/s —
+            # pack/unpack + 8·Co interleave outweigh the dilated-conv win),
+            # so the force is capped at C≤32.
+            y = deconv3d_422_phases(x, kernel, train=train, dtype=self.dtype,
+                                    out_pad=op[0])
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),

@@ -95,19 +95,22 @@ def test_conv3d_fold_matches_xla(c, co, d, h, w):  # noqa: F811
     np.testing.assert_allclose(got_r, np.maximum(want, 0.0), rtol=1e-4, atol=2e-4)
 
 
-def test_deconv3d_422_phases_matches_dilated():
-    """Phase-decomposed ConvTranspose3d(4,2,1) == lhs-dilated conv oracle."""
+@pytest.mark.parametrize("kk,op", [(4, 0), (3, 1)])
+def test_deconv3d_phases_matches_dilated(kk, op):
+    """Phase-decomposed stride-2 ConvTranspose3d == lhs-dilated conv oracle
+    for both reference shapes: (k=4, p=1, op=0) and (k=3, p=1, op=1)."""
     from diffuvolume_tpu.models.layers import deconv3d_422_phases
 
     rng = np.random.default_rng(23)
     ci, co, d, h, w = 16, 8, 8, 6, 10
+    pl = kk - 2
     x = jnp.asarray(rng.standard_normal((1, d, h, w, ci)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((4, 4, 4, ci, co)).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.standard_normal((kk,) * 3 + (ci, co)).astype(np.float32)) * 0.1
     want = jax.lax.conv_general_dilated(
-        x, k, (1, 1, 1), [(2, 2)] * 3, lhs_dilation=(2, 2, 2),
+        x, k, (1, 1, 1), [(pl, pl + op)] * 3, lhs_dilation=(2, 2, 2),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
-    got = deconv3d_422_phases(x, k)  # CPU: conv3x3x3 falls back to XLA conv
+    got = deconv3d_422_phases(x, k, out_pad=op)  # CPU: XLA-conv fallback
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
