@@ -63,6 +63,14 @@ class BasicConvIN(nn.Module):
             x = ConvTransposeBN(
                 self.features, k, s, p, 0, use_bn=False, dtype=self.dtype, name="conv"
             )(x)
+        elif (ndim == 2 and x.shape[-1] <= 4 and len(set(k)) == 1
+              and len(set(s)) == 1 and len(set(p)) == 1):
+            # Image-entry conv (stems): unfold+matmul on the TPU eval path.
+            from diffuvolume_tpu.models.layers import EntryConv
+
+            x = EntryConv(self.features, k[0], s[0], p[0], use_bias=False,
+                          kernel_init=torch_conv_init(k), dtype=self.dtype,
+                          name="conv")(x)
         else:
             x = nn.Conv(
                 self.features, k, s, [(pi, pi) for pi in p], use_bias=False,
@@ -219,8 +227,11 @@ class MobileNetV2Feature(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
         dt = self.dtype
-        y = nn.Conv(32, (3, 3), (2, 2), [(1, 1), (1, 1)], use_bias=False,
-                    kernel_init=torch_conv_init((3, 3)), dtype=dt, name="conv_stem")(x)
+        from diffuvolume_tpu.models.layers import EntryConv
+
+        y = EntryConv(32, 3, 2, 1, use_bias=False,
+                      kernel_init=torch_conv_init((3, 3)), dtype=dt,
+                      name="conv_stem")(x, train)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=dt, name="bn1")(y)
         y = relu6(y)
@@ -291,8 +302,9 @@ class MultiBasicEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         dt = self.dtype
-        y = nn.Conv(64, (7, 7), (1, 1), [(3, 3), (3, 3)], use_bias=True,
-                    dtype=dt, name="conv1")(x)
+        from diffuvolume_tpu.models.layers import EntryConv
+
+        y = EntryConv(64, 7, 1, 3, use_bias=True, dtype=dt, name="conv1")(x, train)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=dt, name="norm1")(y)
         y = jax.nn.relu(y)

@@ -104,6 +104,65 @@ def conv3x3x3(x: jax.Array, kernel: jax.Array, train: bool = False,
     )
 
 
+class EntryConv(nn.Module):
+    """nn.Conv-compatible 2-D conv that unfolds ≤4-channel inputs at eval.
+
+    Same parameter tree (``kernel``[, ``bias``]) and init as the nn.Conv it
+    replaces; with DIFFU_ENTRY_CONV=1 the TPU inference path with C_in ≤ 4
+    runs as unfold + one matmul (ops/entry_conv.py).  Although XLA's entry
+    convs measure ~25× off peak (K=3), the unfold form measured WORSE
+    end-to-end (IGEV bench 4.80 → 4.58 pairs/s — the k²·C patch concat +
+    layout friction exceed the conv's own waste), so it defaults OFF and
+    stays as a documented A/B.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = False
+    kernel_init: Any = None  # None → flax default (lecun_normal)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        import os
+
+        from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
+        k, s, p = self.kernel_size, self.stride, self.padding
+        c_in = x.shape[-1]
+        init = self.kernel_init or nn.initializers.lecun_normal()
+        fast = (
+            not train
+            and c_in <= 4
+            and s in (1, 2)
+            and is_tpu_lowering()
+            and os.environ.get("DIFFU_ENTRY_CONV", "0") == "1"
+        )
+        kernel = self.param("kernel", init, (k, k, c_in, self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        dt = self.dtype
+        if fast:
+            from diffuvolume_tpu.ops.entry_conv import unfold_conv2d
+
+            return unfold_conv2d(
+                x.astype(dt), kernel.astype(dt), stride=s, padding=p,
+                bias=None if bias is None else bias,
+            )
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), kernel.astype(dt), (s, s), [(p, p)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def conv3x3x3_fast(x: jax.Array, train: bool = False,
                    force: bool = False) -> bool:
     """True when conv3x3x3 would take the Pallas fast path for this input."""

@@ -127,3 +127,23 @@ def test_stride2_equals_stride1_subsample():
         x, k, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     np.testing.assert_allclose(np.asarray(s1[:, ::2, ::2, ::2]), np.asarray(s2),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,p,ci,co,bias", [(7, 1, 3, 3, 64, True),
+                                              (3, 2, 1, 3, 32, False),
+                                              (7, 2, 3, 3, 64, True)])
+def test_unfold_conv2d_matches_xla(k, s, p, ci, co, bias):
+    from diffuvolume_tpu.ops.entry_conv import unfold_conv2d
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((1, 20, 26, ci)).astype(np.float32))
+    kern = jnp.asarray(rng.standard_normal((k, k, ci, co)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((co,)).astype(np.float32)) if bias else None
+    want = jax.lax.conv_general_dilated(
+        x, kern, (s, s), [(p, p)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        want = want + b
+    got = unfold_conv2d(x, kern, stride=s, padding=p, bias=b)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
