@@ -199,8 +199,14 @@ def _kernel3(xs, w_ref, b_ref, o_ref, *, th, wp, n_lanes, relu):
 #     operand (fold_dx=True, 3 dots/tile) or left as 9 K=(P+2)*C dots
 #     (fold_dx=False; Mosaic materializes the rotated operands).
 #
-# Measured at (48,128,240) C=32 bf16 on v5e: XLA conv ~5 ms, v1 ~4.9 ms,
-# v2 1.64 ms (fold_dx=False; fold_dx=True 1.71 ms).
+# Measured at (48,128,240) C=32 bf16 on v5e (in-fori_loop; see CLAUDE.md on
+# why standalone timings inflate): XLA conv 33 ms, v2 5.1 ms — but the
+# in-PROGRAM XLA conv is ~5 ms, so v2 stays opt-in at C=32 (see
+# layers._pallas_conv3d_version).  At C=8/16 v2 wins 10-30× in-program
+# (IGEV corr_stem 2.9 → 0.3 ms/model) and is the default there.
+# fold_dx=True hits a Mosaic limit on real TPUs (non-128-multiple lane
+# concat: "result/input offset mismatch on non-concat dimension") and is
+# interpret-only; tile_h > 8 exceeds the 16 MB VMEM scoped limit.
 
 
 def _banded_weights_fold(k3: jax.Array, p: int) -> jax.Array:
