@@ -93,6 +93,7 @@ def ddim_sample(
     rng: jax.Array,
     reencode_fn: Callable[[jax.Array], jax.Array] | None = None,
     denoise_aux_init=None,
+    noise_source: dict | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the short DDIM trajectory and return the ensembled disparity.
 
@@ -120,6 +121,14 @@ def ddim_sample(
         ``denoise_fn(latent, t, aux) -> (disp, unc, transformed, new_aux)``.
         The reference's KITTI15 eval carries its GRU coordinate state
         (``coords1``) across DDIM steps this way (igev_stereo_ddim.py:313).
+      noise_source: optional deterministic noise injection (whole-loop parity
+        testing against the reference's torch RNG stream).  Keys, all
+        optional: ``"init"`` ``(B,D,H4,W4)`` — the initial latent draw when
+        ``init_mode='noise'``; ``"z"`` ``(steps,B,D,H4,W4)`` — the per-step
+        DDIM sigma noise; ``"replace"`` ``(steps,B,D,H4,W4)`` — the per-step
+        replacement draw (the uniform sample itself for
+        ``replace_mode='uniform'``, the q_sample Gaussian eps otherwise).
+        Missing keys fall back to the PRNG.
 
     Returns:
       ``(final_disp (B,H,W), step_disps (steps, B, H, W))``.
@@ -140,12 +149,16 @@ def ddim_sample(
     rng, k_init = jax.random.split(rng)
     step_keys = jax.random.split(rng, cfg.sampling_steps)
 
+    noise_source = noise_source or {}
     if cfg.init_mode == "baseline":
         init_latent = baseline_latent
     elif cfg.init_mode == "noise":
-        init_latent = jax.random.normal(
-            k_init, baseline_latent.shape, baseline_latent.dtype
-        )
+        if "init" in noise_source:
+            init_latent = jnp.asarray(noise_source["init"], baseline_latent.dtype)
+        else:
+            init_latent = jax.random.normal(
+                k_init, baseline_latent.shape, baseline_latent.dtype
+            )
     else:
         raise ValueError(cfg.init_mode)
 
@@ -161,9 +174,12 @@ def ddim_sample(
             disp_c = jnp.clip(disp, 0.0, clip_max)
             return resize_bilinear(disp_c, (h4, w4), h_axis=1, w_axis=2) / 4.0
 
+    inj_z = noise_source.get("z")
+    inj_replace = noise_source.get("replace")
+
     def step(carry, xs):
         latent, mask, replace_src, aux = carry
-        (time, time_next), sigma, c, sqrt_alpha_next, key, step_idx = xs
+        (time, time_next), sigma, c, sqrt_alpha_next, key, step_idx, z_inj, r_inj = xs
         k_z, k_replace = jax.random.split(key)
         t_vec = jnp.full((b,), time, dtype=jnp.int32)
 
@@ -209,13 +225,24 @@ def ddim_sample(
         # DDIM update (acv_ddim.py:344-362) with host-precomputed float64
         # coefficients (see ddim_step_coefficients), guarded for the final
         # step where time_next < 0 → latent := x_start with no replacement.
-        z = jax.random.normal(k_z, latent.shape, latent.dtype)
+        if z_inj is not None:
+            z = z_inj
+        else:
+            z = jax.random.normal(k_z, latent.shape, latent.dtype)
         updated = x_start * sqrt_alpha_next + c * pred_noise + sigma * z
 
         if cfg.replace_mode == "uniform":
-            replacement = jax.random.uniform(k_replace, latent.shape, latent.dtype)
+            if r_inj is not None:
+                replacement = r_inj
+            else:
+                replacement = jax.random.uniform(
+                    k_replace, latent.shape, latent.dtype
+                )
         elif cfg.replace_mode in ("qsample", "qsample_compound"):
-            eps = jax.random.normal(k_replace, latent.shape, latent.dtype)
+            if r_inj is not None:
+                eps = r_inj
+            else:
+                eps = jax.random.normal(k_replace, latent.shape, latent.dtype)
             replacement = sched_lib.q_sample(sched, replace_src, t_vec, eps)
             if cfg.replace_mode == "qsample_compound":
                 # KITTI12 reassigns its replacement source each step
@@ -235,7 +262,9 @@ def ddim_sample(
         step,
         (init_latent, init_mask, baseline_latent, denoise_aux_init),
         (pairs, sigmas, cs, sqrt_alpha_nexts, step_keys,
-         jnp.arange(cfg.sampling_steps)),
+         jnp.arange(cfg.sampling_steps),
+         None if inj_z is None else jnp.asarray(inj_z, jnp.float32),
+         None if inj_replace is None else jnp.asarray(inj_replace, jnp.float32)),
     )
 
     if cfg.use_ensemble:

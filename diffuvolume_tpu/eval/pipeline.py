@@ -168,7 +168,12 @@ def pcw_ddim_inference(
 def _eval_corr_mode() -> str:
     """IGEV eval correlation representation: the diagonal-band lookup by
     default (exact for quarter-res disparities in [-1, 52] — the full 48-bin
-    range; see geometry.GeoPyramid), env-overridable for A/B measurement."""
+    range; see geometry.GeoPyramid), env-overridable for A/B measurement.
+
+    Read ONCE per inference call (not at trace time inside cached stages), so
+    flipping ``DIFFU_CORR_MODE`` between calls takes effect: the mode is part
+    of the stage cache key.
+    """
     import os
 
     return os.environ.get("DIFFU_CORR_MODE", "band")
@@ -176,7 +181,7 @@ def _eval_corr_mode() -> str:
 
 @functools.cache
 def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int,
-                 quirk: bool = False):
+                 quirk: bool = False, corr_mode: str = "band"):
     from diffuvolume_tpu.models.igev.model import IGEVStereo, igev_forward
 
     sched = make_schedule(1000)
@@ -185,7 +190,7 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int,
     def baseline_pass(baseline_vars, left, right):
         return igev_forward(
             baseline_model, baseline_vars, left, right, iters=iters,
-            test_mode=True, corr_mode=_eval_corr_mode(),
+            test_mode=True, corr_mode=corr_mode,
         )
 
     @jax.jit
@@ -206,8 +211,14 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int,
         # Encode ONCE; each DDIM step re-runs only the GRU rollout with the
         # new latent (the reference re-uses its precomputed geo_fn the same
         # way, igev_stereo_ddim.py:401-427).
-        enc, pyramid = igev_encode(ddim_model, ddim_vars, left, right,
-                                   train=False, corr_mode=_eval_corr_mode())
+        # Quirk mode carries coords1 seeded with init_disp (a disparity
+        # field, not the pixel-index grid) across DDIM steps; the band
+        # lookup's anchor assumes pixel-index coords, so force the exact
+        # all-pairs "volume" representation on the parity path.
+        enc, pyramid = igev_encode(
+            ddim_model, ddim_vars, left, right, train=False,
+            corr_mode="volume" if quirk else corr_mode,
+        )
 
         def embed(latent, t):
             # The reference inverts noise from the transformed volume
@@ -287,21 +298,21 @@ def igev_ddim_inference(
 
     cfg = KITTI15_DDIM if cfg is None else cfg
     baseline_pass, sample = _igev_stages(
-        baseline_model, ddim_model, cfg, iters, quirk
+        baseline_model, ddim_model, cfg, iters, quirk, _eval_corr_mode()
     )
     baseline_disp = baseline_pass(baseline_vars, left, right)
     final = sample(ddim_vars, left, right, baseline_disp, rng)
     return final, baseline_disp
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _baseline_forward(model, variables, inputs, iters):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _baseline_forward(model, variables, inputs, iters, corr_mode="band"):
     left, right = inputs
     if iters is not None:  # IGEV path
         from diffuvolume_tpu.models.igev.model import igev_forward
 
         return igev_forward(model, variables, left, right, iters=iters,
-                            test_mode=True, corr_mode=_eval_corr_mode())
+                            test_mode=True, corr_mode=corr_mode)
     out = model.apply(variables, left, right, train=False)
     # ACV eval returns [pred]; PCW eval returns ([disp_finetune], [prob3]).
     disp = out[0]
@@ -322,4 +333,5 @@ def baseline_inference(model, variables, left, right, iters: int | None = None):
     Returns:
       ``(B, H, W)`` disparity.
     """
-    return _baseline_forward(model, variables, (left, right), iters)
+    return _baseline_forward(model, variables, (left, right), iters,
+                             _eval_corr_mode())

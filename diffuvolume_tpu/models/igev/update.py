@@ -43,6 +43,60 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def _gru_conv_mode() -> str:
+    """How the update block's 3×3 convolutions are emitted.
+
+    "conv" (default): ``lax.conv_general_dilated`` per piece.  XLA's TPU conv
+    strategy space-partitions (1,96,312,C) into (96,1,8,40,C) and bounces
+    between the conv layout {3,1,2,0} and the elementwise layout {3,2,1,0} —
+    the band-mode device trace attributes ~240 µs/GRU-iteration to these
+    relayout copies (copy/concat/copy-done at 384×1248).
+
+    "dot" (DIFFU_GRU_DOTCONV=1): each 3×3 conv as 9 pad/slice-shifted
+    ``dot_general``s with f32 accumulation — numerically identical (same
+    per-tap MXU contractions), but every operand stays in the native
+    channels-minor layout, so no conv-specific relayouts exist to begin with.
+    """
+    import os
+
+    return "dot" if os.environ.get("DIFFU_GRU_DOTCONV", "0") == "1" else "conv"
+
+
+def _conv3x3_tap_dots(x, kernel, dt, acc=None):
+    """3×3 pad-1 conv of ``x`` as 9 shifted K=C matmuls; returns the f32
+    accumulator (caller casts).  ``kernel`` is ``(3, 3, C, Co)``."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x.astype(dt), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    for dy in range(3):
+        for dx in range(3):
+            y = jax.lax.dot_general(
+                xp[:, dy : dy + h, dx : dx + w, :],
+                kernel[dy, dx].astype(dt),
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+    return acc
+
+
+def _apply3x3(x, kernel, bias, dt):
+    """One 3×3 pad-1 conv under the _gru_conv_mode dispatch (bias fused).
+
+    Parameter-tree-compatible replacement for the block's ``nn.Conv`` layers:
+    callers hold the weights in a ``_ConvParams`` submodule with the same
+    ``{kernel, bias}`` leaves and names."""
+    if _gru_conv_mode() == "dot":
+        acc = _conv3x3_tap_dots(x, kernel, dt)
+        if bias is not None:
+            acc = acc + bias.astype(jnp.float32)
+        return acc.astype(dt)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias.astype(dt) if bias is not None else y
+
+
 def _conv_over_pieces(kernel, pieces, dt):
     """conv(concat(pieces), kernel) as Σᵢ conv(pieceᵢ, kernel-sliceᵢ).
 
@@ -57,15 +111,19 @@ def _conv_over_pieces(kernel, pieces, dt):
     single fused conv (whose MXU accumulator is f32) instead of rounding each
     partial output to bf16 before the add."""
     off, acc = 0, None
+    mode = _gru_conv_mode()
     for p in pieces:
         c = p.shape[-1]
         ks = kernel[:, :, off : off + c].astype(dt)
-        y = jax.lax.conv_general_dilated(
-            p.astype(dt), ks, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
-        acc = y if acc is None else acc + y
+        if mode == "dot":
+            acc = _conv3x3_tap_dots(p, ks, dt, acc)
+        else:
+            y = jax.lax.conv_general_dilated(
+                p.astype(dt), ks, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
         off += c
     assert off == kernel.shape[2], (off, kernel.shape)
     return acc.astype(dt)
@@ -122,7 +180,8 @@ class DispHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
-        y = jax.nn.relu(_conv(self.hidden_dim, 3, "conv1", self.dtype)(x))
+        k1, b1 = _ConvParams(self.hidden_dim, (3, 3), name="conv1")(x.shape[-1])
+        y = jax.nn.relu(_apply3x3(x, k1, b1, dt))
         k2, b2 = _ConvParams(1, (3, 3), name="conv2")(self.hidden_dim)
         ktap = k2[..., 0].reshape(9, self.hidden_dim).T.astype(dt)  # (hd, 9)
         tmp = jnp.einsum("bhwc,co->bhwo", y.astype(dt), ktap)
@@ -182,7 +241,8 @@ class BasicMotionEncoder(nn.Module):
             total += j * c
         assert total == self.corr_planes, (total, self.corr_planes)
         cor = jax.nn.relu(acc.astype(dt) + bc1.astype(dt))
-        cor = jax.nn.relu(_conv(64, 3, "convc2", self.dtype)(cor))
+        kc2, bc2 = _ConvParams(64, (3, 3), name="convc2")(64)
+        cor = jax.nn.relu(_apply3x3(cor, kc2, bc2, dt))
         # convd1 (7×7, 1→64): a 1-input-channel conv wastes 127/128 MXU input
         # lanes (measured 53 µs/GRU-iter).  Unfold the scalar disparity into
         # its 49 taps (cheap VPU shifts) and apply the kernel as a 1×1 matmul
@@ -199,7 +259,8 @@ class BasicMotionEncoder(nn.Module):
             jnp.einsum("bhwk,ko->bhwo", cols, kd.reshape(49, 64).astype(dt))
             + bd.astype(dt)
         )
-        dsp = jax.nn.relu(_conv(64, 3, "convd2", self.dtype)(dsp))
+        kd2, bd2 = _ConvParams(64, (3, 3), name="convd2")(64)
+        dsp = jax.nn.relu(_apply3x3(dsp, kd2, bd2, dt))
         ko, bo = _ConvParams(127, (3, 3), name="conv")(128)
         out = jax.nn.relu(
             _conv_over_pieces(ko, [cor, dsp], self.dtype) + bo.astype(self.dtype)
@@ -271,5 +332,6 @@ class BasicMultiUpdateBlock(nn.Module):
             return net
 
         delta_disp = DispHead(256, dt, name="disp_head")(net[0])
-        mask_feat_4 = jax.nn.relu(_conv(32, 3, "mask_feat_4", dt)(net[0]))
+        km, bm = _ConvParams(32, (3, 3), name="mask_feat_4")(net[0].shape[-1])
+        mask_feat_4 = jax.nn.relu(_apply3x3(net[0], km, bm, dt))
         return net, mask_feat_4, delta_disp

@@ -13,6 +13,7 @@ torch CPU oracles):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Sequence
 
 import numpy as np
@@ -58,10 +59,12 @@ _ACTS = {
 def _conv3d_2d_enabled() -> bool:
     """Route 3-D convolutions through per-depth-tap 2-D convs (ops/conv3d_2d).
 
-    Opt-in with DIFFU_CONV3D_2D=1 while the v5e measurement is pending: XLA's
-    conv3d lowering im2col-materializes patches in HBM (~12x off MXU SOL at
-    the aggregation shapes), whereas the 2-D emitter streams; the decomposed
-    form pays KD dispatches + a shifted add instead.
+    Opt-in with DIFFU_CONV3D_2D=1.  Measured verdict (v5e, round 2): the
+    decomposed form does NOT beat XLA's native conv3d in-program — the KD
+    per-tap dispatches and shifted adds cost as much as the im2col path
+    saves, and the end-to-end bench was flat-to-worse.  Kept as a wired A/B
+    path only; the productive conv3d levers are the Pallas fold kernel at
+    C≤16 and the phase-decomposed deconvs (see _pallas_conv3d_version).
     """
     import os
 
@@ -97,7 +100,12 @@ def conv3x3x3(x: jax.Array, kernel: jax.Array, train: bool = False,
         # Narrow W tiles at tile_h=8 exceed the 16 MB VMEM with 9 input
         # blocks in flight; halve the tile for wide volumes.
         th = 8 if x.shape[3] <= 258 else 4
-        return fn(x.astype(dt), kernel.astype(dt), tile_h=th)
+        kw = {}
+        if version == 2:
+            # A/B: materialize the two dx-rotations once per tile instead of
+            # rotating 6 of the 9 dot operands (exact; see conv3d_fold).
+            kw["hoist_dx"] = os.environ.get("DIFFU_CONV3D_HOIST_DX", "0") == "1"
+        return fn(x.astype(dt), kernel.astype(dt), tile_h=th, **kw)
     return jax.lax.conv_general_dilated(
         x.astype(dt), kernel.astype(dt), (1, 1, 1), [(1, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),

@@ -75,7 +75,7 @@ def conv3d_packed(
     Numerically equal to ``lax.conv_general_dilated(..., NDHWC)`` with an f32
     accumulator; optional fused bias + ReLU.
 
-    Requirements: ``C ∈ {32, 64, 128}``, ``D % (128//C) == 0``.
+    Requirements: ``C ∈ {8, 16, 32, 64, 128}``, ``D % (128//C) == 0``.
     """
     b, d, h, w, c = x.shape
     co = k3.shape[-1]
@@ -228,7 +228,8 @@ def _banded_weights_fold(k3: jax.Array, p: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "tile_h", "interpret", "fold_dx")
+    jax.jit, static_argnames=("relu", "tile_h", "interpret", "fold_dx",
+                              "hoist_dx")
 )
 def conv3d_fold(
     x: jax.Array,
@@ -238,12 +239,13 @@ def conv3d_fold(
     tile_h: int = 8,
     interpret: bool = False,
     fold_dx: bool = False,
+    hoist_dx: bool = False,
 ) -> jax.Array:
     """3×3×3 stride-1 pad-1 conv over ``(B, D, H, W, C)`` — v2 fold kernel.
 
     Numerically equal to ``lax.conv_general_dilated(..., NDHWC)`` with an f32
-    accumulator; optional fused bias + ReLU.  Requirements: ``C ∈ {32, 64,
-    128}``, ``D % (128//C) == 0``.
+    accumulator; optional fused bias + ReLU.  Requirements: ``C ∈ {8, 16, 32,
+    64, 128}``, ``D % (128//C) == 0``.
     """
     b, d, h, w, c = x.shape
     co = k3.shape[-1]
@@ -329,6 +331,20 @@ def conv3d_fold(
                     w_ref[dy],
                     preferred_element_type=jnp.float32,
                 )
+        elif hoist_dx:
+            # Materialize the two unaligned dx-rotations ONCE ((th+2)·wp rows
+            # each) instead of once per dy (the v2 form rotated 6 of its 9
+            # operands); the dy offsets (dy·wp, wp % 8 == 0) are then aligned
+            # free views into the rotated buffers.
+            m2 = (th + 2) * wp
+            shifted = [flat[dx : dx + m2] for dx in range(3)]
+            for dy in range(3):
+                for dx in range(3):
+                    acc += jnp.dot(
+                        shifted[dx][dy * wp : dy * wp + m],
+                        w_ref[dy, dx],
+                        preferred_element_type=jnp.float32,
+                    )
         else:
             for dy in range(3):
                 for dx in range(3):

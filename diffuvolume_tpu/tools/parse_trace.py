@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("outdir")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--grep", default=None, help="only ops whose name contains this")
+    p.add_argument("--by_source", action="store_true",
+                   help="aggregate by the op's Python source line + HLO category "
+                        "(XLA records op provenance in the event args)")
+    p.add_argument("--count", type=int, default=None,
+                   help="only ops with exactly this event count (e.g. the scan "
+                        "trip count, to isolate per-iteration ops)")
     args = p.parse_args(argv)
 
     d = load_latest(args.outdir)
@@ -49,6 +55,15 @@ def main(argv=None):
         name = ev["name"]
         dur = ev.get("dur", 0)  # microseconds
         total += dur
+        if args.by_source:
+            a = ev.get("args", {})
+            src = a.get("source", "?")
+            # Strip site-packages prefixes; keep repo-relative paths readable.
+            for cut in ("/root/repo/", "site-packages/"):
+                if cut in src:
+                    src = src.split(cut, 1)[1]
+            cat = a.get("hlo_category", "?")
+            name = f"{src} [{cat}]"
         by_full[name][0] += dur
         by_full[name][1] += 1
 
@@ -58,6 +73,8 @@ def main(argv=None):
     shown = 0
     for name, (us, cnt) in rows:
         if args.grep and args.grep not in name:
+            continue
+        if args.count is not None and cnt != args.count:
             continue
         print(f"{us:10.0f} {100*us/max(total,1e-9):6.2f} {cnt:6d} {us/cnt:9.1f}  {name}")
         shown += 1
