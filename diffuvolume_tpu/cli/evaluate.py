@@ -152,11 +152,27 @@ def main(argv=None):
         if "disp_gt" in s:
             gt = jnp.asarray(s["disp_gt"])[None]
             mask = (gt > 0) & (gt < args.maxdisp)
+            if "valid" in s:
+                # Zero-shot loaders carry the reference-defined validity
+                # (Middlebury/ETH3D nocc masks, sparse KITTI GT) — intersect
+                # it like the reference validate_* loops do
+                # (KITTI15/evaluate_stereo.py:52,220).
+                mask = mask & jnp.asarray(s["valid"])[None]
             m = metrics_batch(final, gt, mask)
             meter.update({k2: float(v[0]) for k2, v in m.items() if k2 != "weight"})
         if i % 20 == 0:
             print(f"[{i}/{n}] {meter.mean()}")
-    print("FINAL:", meter.mean())
+    final_means = meter.mean()
+    print("FINAL:", final_means)
+    # Reference-defined zero-shot headline metric (validate_eth3d uses
+    # D1 = err>1px over nocc; validate_middlebury uses err>2px —
+    # KITTI15/evaluate_stereo.py:54,220).
+    headline = {"eth3d": ("Thres1", "D1(>1px, nocc)"),
+                "middlebury": ("Thres2", "D1(>2px)")}
+    for prefix, (key, label) in headline.items():
+        if args.dataset.startswith(prefix) and key in final_means:
+            print(f"HEADLINE {args.dataset} {label}: "
+                  f"{100 * final_means[key]:.3f}%")
     if t_count:
         print(f"throughput: {t_count / t_total:.3f} pairs/s")
 

@@ -45,6 +45,11 @@ class ETH3DDataset:
             disp, _ = read_pfm(df)
             out["disp_gt"] = disp
             out["valid"] = (disp < 512) & (disp > 0)
+            # The reference's ETH3D validation additionally restricts to the
+            # non-occluded mask (evaluate_stereo.py:48-52: mask0nocc.png==255).
+            nocc = df.replace("disp0GT.pfm", "mask0nocc.png")
+            if os.path.exists(nocc):
+                out["valid"] &= read_image(nocc)[..., 0] == 255
         return out
 
 
@@ -77,7 +82,15 @@ class MiddleburyDataset:
             disp, _ = read_pfm(df)
             disp = np.where(np.isfinite(disp), disp, 0.0).astype(np.float32)
             out["disp_gt"] = disp
-            out["valid"] = disp > 0
+            # Reference validity is the NON-OCCLUDED mask, not disp>0: pixels
+            # where mask0nocc.png == 255 (readDispMiddlebury,
+            # KITTI15/core/utils/frame_utils.py:156-165).  Fall back to
+            # disp>0 only when the mask file is absent.
+            nocc = df.replace("disp0GT.pfm", "mask0nocc.png")
+            if os.path.exists(nocc):
+                out["valid"] = (read_image(nocc)[..., 0] == 255) & (disp > 0)
+            else:
+                out["valid"] = disp > 0
         return out
 
 

@@ -26,6 +26,7 @@ from diffuvolume_tpu.models.layers import (
     ACVFeatureExtractor,
     ConvBN,
     DynamicHead,
+    HeadConv3D,
     HourglassACV,
     torch_conv_init,
 )
@@ -74,10 +75,7 @@ class ACVNet(nn.Module):
         self.dres1_att_1 = ConvBN(32, 3, 1, 1, dtype=dt)
         self.dres2_att_ = HourglassACV(32, dtype=dt)
         self.classif_att_0 = ConvBN(32, 3, 1, 1, act="relu", dtype=dt)
-        self.classif_att_1 = nn.Conv(
-            1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-            kernel_init=torch_conv_init((3, 3, 3)), dtype=dt,
-        )
+        self.classif_att_1 = HeadConv3D(dtype=dt)
 
         if self.diffusion:
             self.time_embedding = DynamicHead(d_model=self.max_disp // 4, dtype=dt)
@@ -92,8 +90,7 @@ class ACVNet(nn.Module):
         def classif():
             return (
                 ConvBN(32, 3, 1, 1, act="relu", dtype=dt),
-                nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-                        kernel_init=torch_conv_init((3, 3, 3)), dtype=dt),
+                HeadConv3D(dtype=dt),
             )
 
         self.classif0_0, self.classif0_1 = classif()
@@ -119,7 +116,7 @@ class ACVNet(nn.Module):
         patch_volume = jnp.concatenate([p1, p2, p3], axis=-1)
         att = self.dres1_att_1(self.dres1_att_0(patch_volume, train), train)
         att = self.dres2_att_(att, train)
-        att_weights = self.classif_att_1(self.classif_att_0(att, train))
+        att_weights = self.classif_att_1(self.classif_att_0(att, train), train)
 
         cl = self.concatconv1(self.concatconv0(feat_l, train))
         cr = self.concatconv1(self.concatconv0(feat_r, train))
@@ -137,7 +134,7 @@ class ACVNet(nn.Module):
         return cost0, out1, out2
 
     def _head(self, conv_a, conv_b, x, out_hw, train):
-        cost = conv_b(conv_a(x, train))[..., 0]  # (B, D, H4, W4)
+        cost = conv_b(conv_a(x, train), train)[..., 0]  # (B, D, H4, W4)
         return upsample_cost_and_regress(
             cost.astype(jnp.float32), self.max_disp, out_hw
         )
@@ -167,7 +164,7 @@ class ACVNet(nn.Module):
         noise = (noise / self.scale + 1.0) / 2.0
         vol = ac_volume * noise[..., None].astype(ac_volume.dtype)
         _, _, out2 = self._aggregate(vol, train)
-        cost = self.classif2_1(self.classif2_0(out2, train))[..., 0]
+        cost = self.classif2_1(self.classif2_0(out2, train), train)[..., 0]
         disp, unc = fused_upsample_softargmin(
             cost.astype(jnp.float32), self.max_disp, out_hw
         )
@@ -237,7 +234,7 @@ class ACVNet(nn.Module):
             from diffuvolume_tpu.ops.pallas.fused_head import fused_upsample_softargmin
 
             _, _, out2 = self._aggregate(ac_volume, train)
-            cost = self.classif2_1(self.classif2_0(out2, train))[..., 0]
+            cost = self.classif2_1(self.classif2_0(out2, train), train)[..., 0]
             pred2, _ = fused_upsample_softargmin(
                 cost.astype(jnp.float32), self.max_disp, out_hw
             )

@@ -105,6 +105,22 @@ class BasicConvBN(nn.Module):
             x = ConvTransposeBN(
                 self.features, k, s, p, 0, use_bn=False, dtype=self.dtype, name="conv"
             )(x)
+        elif ndim == 3 and k == (1, 1, 1) and s == (1, 1, 1) and p == (0, 0, 0):
+            from diffuvolume_tpu.models.layers import (
+                _ConvKernel, _conv1x1_dot_ok, conv1x1_dot,
+            )
+
+            kernel = _ConvKernel((*k, x.shape[-1], self.features), name="conv")()
+            if _conv1x1_dot_ok(x, k, s, (1, 1, 1), 1, train):
+                # 1×1×1 conv as a minor-dim dot (GEV hourglass agg heads ran
+                # at 0.5 TF/s through XLA's conv emitter — see conv1x1_dot).
+                x = conv1x1_dot(x, kernel, dtype=self.dtype)
+            else:
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    (1, 1, 1), [(0, 0)] * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                )
         elif (ndim == 3 and k == (3, 3, 3) and s == (1, 1, 1) and p == (1, 1, 1)
               and x.shape[-1] in (8, 16, 32, 64, 128)
               and x.shape[1] % (128 // x.shape[-1]) == 0):

@@ -181,18 +181,36 @@ class IGEVStereo(nn.Module):
         independent.  Inputs RAW [0,255]."""
         left_n = 2.0 * (left / 255.0) - 1.0
         right_n = 2.0 * (right / 255.0) - 1.0
+        b = left.shape[0]
 
-        feat_l = self.feature(left_n, train)
-        feat_r = self.feature(right_n, train)
-        stem_2x = self._stem(self.stem_2_ops, left_n, train)
-        stem_4x = self._stem(self.stem_4_ops, stem_2x, train)
-        stem_2y = self._stem(self.stem_2_ops, right_n, train)
-        stem_4y = self._stem(self.stem_4_ops, stem_2y, train)
-        feat_l[0] = jnp.concatenate([feat_l[0], stem_4x], axis=-1)  # 96 ch
-        feat_r[0] = jnp.concatenate([feat_r[0], stem_4y], axis=-1)
+        if not train:
+            # Eval: run BOTH views through the trunk as one 2B batch — per-
+            # sample conv/IN arithmetic is independent of batching, so the
+            # results are identical to two separate calls, at half the op
+            # count (the encode trace shows 142 separate conv dispatches).
+            # Training keeps separate calls: BN batch statistics must match
+            # the reference's per-view updates.
+            im = jnp.concatenate([left_n, right_n], axis=0)
+            feat = self.feature(im, train)
+            stem_2 = self._stem(self.stem_2_ops, im, train)
+            stem_4 = self._stem(self.stem_4_ops, stem_2, train)
+            feat0 = jnp.concatenate([feat[0], stem_4], axis=-1)  # 96 ch
+            match = self.desc(self.conv(feat0))
+            match_l, match_r = match[:b], match[b:]
+            stem_2x = stem_2[:b]
+            feat_l = [feat0[:b]] + [f[:b] for f in feat[1:]]
+        else:
+            feat_l = self.feature(left_n, train)
+            feat_r = self.feature(right_n, train)
+            stem_2x = self._stem(self.stem_2_ops, left_n, train)
+            stem_4x = self._stem(self.stem_4_ops, stem_2x, train)
+            stem_2y = self._stem(self.stem_2_ops, right_n, train)
+            stem_4y = self._stem(self.stem_4_ops, stem_2y, train)
+            feat_l[0] = jnp.concatenate([feat_l[0], stem_4x], axis=-1)  # 96 ch
+            feat_r[0] = jnp.concatenate([feat_r[0], stem_4y], axis=-1)
 
-        match_l = self.desc(self.conv(feat_l[0]))
-        match_r = self.desc(self.conv(feat_r[0]))
+            match_l = self.desc(self.conv(feat_l[0]))
+            match_r = self.desc(self.conv(feat_r[0]))
 
         gwc = build_gwc_volume(match_l, match_r, self.max_disp // 4, 8)
         gwc = self.corr_stem(gwc, train)

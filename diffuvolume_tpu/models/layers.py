@@ -155,6 +155,18 @@ class EntryConv(nn.Module):
             else None
         )
         dt = self.dtype
+        s2d = (
+            not train
+            and c_in <= 4
+            and k == 3 and s == 2 and p == 1
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and is_tpu_lowering()
+            and os.environ.get("DIFFU_ENTRY_S2D", "0") == "1"
+        )
+        if s2d:
+            from diffuvolume_tpu.ops.entry_conv import s2d_conv2d
+
+            return s2d_conv2d(x.astype(dt), kernel.astype(dt), bias)
         if fast:
             from diffuvolume_tpu.ops.entry_conv import unfold_conv2d
 
@@ -169,6 +181,108 @@ class EntryConv(nn.Module):
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
+
+
+def conv1x1_dot(x: jax.Array, kernel: jax.Array, dtype=None) -> jax.Array:
+    """k=1 stride-1 conv (any rank) as one channels-minor matmul — exact.
+
+    XLA lowers even 1×1×1 conv3d through its space-partitioning conv emitter;
+    measured 0.5 TF/s on the GEV hourglass agg heads at (24,48,156,32→16) on
+    v5e (device trace r3).  The dot form contracts the minor dim in place.
+
+    Measured VERDICT (r3): on the ACV aggregation redirs at (48,128,240,32)
+    the dot REGRESSES the DDIM step 55 → 77 ms (the dot's output layout
+    forces relayouts of the 94 MB volumes feeding the neighboring convs), so
+    DIFFU_CONV1X1_DOT defaults OFF; kept as an A/B for the small-volume GEV
+    agg heads."""
+    dt = dtype or x.dtype
+    c_in, c_out = kernel.shape[-2], kernel.shape[-1]
+    k2 = kernel.reshape(c_in, c_out)
+    return jax.lax.dot_general(
+        x.astype(dt), k2.astype(dt),
+        (((x.ndim - 1,), (0,)), ((), ())),
+    )
+
+
+def _conv1x1_dot_ok(x, k, s, d, groups, train) -> bool:
+    from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
+    return (
+        not train
+        and os.environ.get("DIFFU_CONV1X1_DOT", "0") == "1"
+        and all(ki == 1 for ki in k)
+        and all(si == 1 for si in s)
+        and all(di == 1 for di in d)
+        and groups == 1
+        and x.ndim - 2 == 3
+        and is_tpu_lowering()
+    )
+
+
+def conv3d_head_tapdot(x: jax.Array, kernel: jax.Array, dtype=None) -> jax.Array:
+    """3×3×3 stride-1 pad-1 conv to ONE output channel as tap-dot + shift-add.
+
+    The reference's classifier heads end in a ``(3,3,3, C, 1)`` conv.  XLA
+    lowers the 1-output-lane conv3d catastrophically: measured 10.6 ms/DDIM
+    step at (48,128,240,32) on v5e — AND its Co=1 output forces a degraded
+    ``T(2,128)`` layout back up the producer chain (classif2_0 ran 3× its
+    normal cost).  Instead contract channels first with a single K=C matmul
+    into 27 per-tap maps, then accumulate the taps as shifted adds (exact —
+    the conv is linear; zero padding reproduces conv padding).  Same trick as
+    DispHead's conv2 (models/igev/update.py), lifted to 3-D.
+
+    Measured verdict (r3 device traces): the 10.6 ms/step classif conv that
+    motivated this was an artifact of the conv1x1_dot layout poisoning; in a
+    clean program the nn.Conv head costs ~0.7 ms and the tapdot form is ~2
+    ms/step WORSE (27 minor-dim lane extracts at 475 µs of formatting each).
+    Default OFF (DIFFU_HEAD_TAPDOT=1 to A/B).
+
+    Returns ``(B, D, H, W)`` (channel squeezed).
+    """
+    dt = dtype or x.dtype
+    b, d, h, w, c = x.shape
+    assert kernel.shape == (3, 3, 3, c, 1), kernel.shape
+    ktap = kernel[..., 0].reshape(27, c).T.astype(dt)  # (C, 27)
+    tmp = jax.lax.dot_general(
+        x.astype(dt), ktap, (((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, D, H, W, 27) f32
+    tp = jnp.pad(tmp, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    out = sum(
+        tp[:, dz : dz + d, dy : dy + h, dx : dx + w, 9 * dz + 3 * dy + dx]
+        for dz in range(3)
+        for dy in range(3)
+        for dx in range(3)
+    )
+    return out.astype(dt)
+
+
+class HeadConv3D(nn.Module):
+    """nn.Conv-compatible ``(3,3,3,C,1)`` classifier-head conv.
+
+    Same parameter tree/init as ``nn.Conv(1, (3,3,3), use_bias=False)``; at
+    TPU inference runs via conv3d_head_tapdot (see its docstring for the
+    measured XLA pathology), otherwise the plain conv.  Output keeps the
+    trailing singleton channel to stay call-compatible.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_conv_init((3, 3, 3)), (3, 3, 3, c, 1), jnp.float32
+        )
+        if (not train and is_tpu_lowering()
+                and os.environ.get("DIFFU_HEAD_TAPDOT", "0") == "1"):
+            return conv3d_head_tapdot(x, kernel, dtype=self.dtype)[..., None]
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1, 1),
+            [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
 
 
 def conv3x3x3_fast(x: jax.Array, train: bool = False,
@@ -320,7 +434,11 @@ class ConvBN(nn.Module):
             and c_in in (8, 16, 32, 64, 128)
             and x.shape[1] % (128 // c_in) == 0
         )
-        if pallas_ok:
+        if (_conv1x1_dot_ok(x, k, s, d, self.groups, train) and not bias
+                and p == (0, 0, 0)):
+            kernel = _ConvKernel((*k, c_in, self.features), name="conv")()
+            x = conv1x1_dot(x, kernel, dtype=self.dtype)
+        elif pallas_ok:
             # Same param tree as nn.Conv; execution path chosen at trace time.
             kernel = _ConvKernel((*k, c_in, self.features), name="conv")()
             if _conv3d_2d_enabled() and (train or not _pallas_conv3d_version(c_in)):

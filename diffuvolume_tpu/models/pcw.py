@@ -25,6 +25,7 @@ from diffuvolume_tpu.models.layers import (
     ConvBN,
     ConvTransposeBN,
     DynamicHead,
+    HeadConv3D,
     torch_conv_init,
 )
 from diffuvolume_tpu.ops.cost_volume import (
@@ -256,8 +257,7 @@ class PCWNet(nn.Module):
         def classif():
             return (
                 ConvBN(32, 3, 1, 1, act=self.act, dtype=dt),
-                nn.Conv(1, (3,) * 3, padding=[(1, 1)] * 3, use_bias=False,
-                        kernel_init=torch_conv_init((3,) * 3), dtype=dt),
+                HeadConv3D(dtype=dt),
             )
 
         self.classif0_0, self.classif0_1 = classif()
@@ -301,7 +301,7 @@ class PCWNet(nn.Module):
     # ---- heads ----
 
     def _head(self, conv_a, conv_b, x, out_hw, train):
-        cost = conv_b(conv_a(x, train))[..., 0]
+        cost = conv_b(conv_a(x, train), train)[..., 0]
         return upsample_cost_and_regress(
             cost.astype(jnp.float32), self.max_disp, out_hw, align_corners=True
         )
@@ -328,12 +328,21 @@ class PCWNet(nn.Module):
         volume the reference feeds to predict_noise_from_start
         (pwcnet_ddim.py:468-470→...).
 
-        Note: the reference scores uncertainty as ``Σ|d - disp_finetune|·p3``
-        (pwcnet_ddim.py:554-559); the fused head scores against its own pred3.
-        The two differ by at most the refinement residual ``|pred3 -
-        disp_finetune|`` (sub-pixel), inside the renewal threshold noise.
+        The reference scores uncertainty as ``Σ|d - disp_finetune|·p3``
+        (pwcnet_ddim.py:554-559) — against the REFINED disparity, which only
+        exists after the refinement net consumes pred3.  Default is therefore
+        a second fused pass evaluating the uncertainty at disp_finetune
+        (fused_uncertainty_at, exact reference semantics); set
+        ``DIFFU_PCW_APPROX_UNC=1`` to skip it and reuse the first pass's
+        pred3-scored uncertainty (differs by ≤ the refinement residual;
+        ~2% cheaper per DDIM step).
         """
-        from diffuvolume_tpu.ops.pallas.fused_head import fused_upsample_softargmin
+        import os
+
+        from diffuvolume_tpu.ops.pallas.fused_head import (
+            fused_uncertainty_at,
+            fused_upsample_softargmin,
+        )
 
         noise = self.time_embedding(latent, t)
         noise = jnp.clip(noise, -self.scale, self.scale)
@@ -342,11 +351,16 @@ class PCWNet(nn.Module):
         out1 = self.dres2(vol, train)
         out2 = self.dres3(out1, train)
         out3 = self.dres4(out2, train)
-        cost3 = self.classif3_1(self.classif3_0(out3, train))[..., 0]
+        cost3 = self.classif3_1(self.classif3_0(out3, train), train)[..., 0]
         pred3, unc3 = fused_upsample_softargmin(
             cost3.astype(jnp.float32), self.max_disp, out_hw, align_corners=True
         )
         disp_finetune = self.refine(pred3, fl, fr, out_hw, train)
+        if os.environ.get("DIFFU_PCW_APPROX_UNC", "0") != "1":
+            unc3 = fused_uncertainty_at(
+                cost3.astype(jnp.float32), disp_finetune, self.max_disp,
+                out_hw, align_corners=True,
+            )
         return disp_finetune, unc3, noise.astype(jnp.float32)
 
     # ---- forwards (pwcnet_ddim.py:604-758) ----

@@ -70,3 +70,51 @@ def unfold_conv2d(
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def s2d_conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """k=3 stride-2 pad-1 conv via space-to-depth — exact.
+
+    ``in (B,H,W,C) → blocks (B,H/2,W/2,4C)`` (2×2 pixel blocks in lanes),
+    then ONE k=2 stride-1 conv with top/left-only padding whose kernel
+    scatters the original taps by parity: output y reads input rows
+    {2y-1, 2y, 2y+1} = block rows {y-1 (parity 1), y (parity 0 and 1)}, so
+    tap ``dy`` maps to ``(du, py) ∈ {0:(0,1), 1:(1,0), 2:(1,1)}`` (same for
+    x).  The contraction grows 3·3·C → 2·2·4C (27 → 48 useful lanes for RGB)
+    and the conv input is C=4·C-channel — both relieve the K=3 MXU waste of
+    the raw entry conv (measured ~25× off peak).  H, W must be even.
+    """
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    assert kernel.shape[:2] == (3, 3), kernel.shape
+    co = kernel.shape[-1]
+    xb = (
+        x.reshape(b, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, w // 2, 4 * c)
+    )
+    pm = {(0, 1): 0, (1, 0): 1, (1, 1): 2}  # (block offset, parity) → tap
+    k2 = jnp.zeros((2, 2, 4, c, co), kernel.dtype)
+    for du in (0, 1):
+        for py in (0, 1):
+            dy = pm.get((du, py))
+            if dy is None:
+                continue
+            for dv in (0, 1):
+                for px in (0, 1):
+                    dx = pm.get((dv, px))
+                    if dx is None:
+                        continue
+                    k2 = k2.at[du, dv, py * 2 + px].set(kernel[dy, dx])
+    k2 = k2.reshape(2, 2, 4 * c, co)
+    y = jax.lax.conv_general_dilated(
+        xb, k2.astype(xb.dtype), (1, 1), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

@@ -49,7 +49,7 @@ def main(argv=None):
     b, h, w = 1, args.height, args.width
     h4, w4 = h // 4, w // 4
     d = model.max_disp // 4
-    cfg = DDIMConfig(sampling_timesteps=args.steps)
+    cfg = DDIMConfig(sampling_steps=args.steps)
     sched = make_schedule(1000)
 
     def rnd(i, shape, dt=dtype):

@@ -230,3 +230,65 @@ def test_sparse_flow_augmentor_end_to_end():
         assert o1.shape == (32, 64, 3) and od.shape == (32, 64)
         assert set(np.unique(ov)).issubset({0.0, 1.0})
         assert (od[ov < 1] == 0).all()  # sparse re-scatter keeps zeros invalid
+
+
+def _write_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+def test_middlebury_nocc_validity(tmp_path):
+    """Middlebury validity = mask0nocc.png == 255 (readDispMiddlebury,
+    KITTI15/core/utils/frame_utils.py:156-165), not disp>0."""
+    from diffuvolume_tpu.data.readers import write_pfm
+    from diffuvolume_tpu.data.zoo import MiddleburyDataset
+
+    scene = tmp_path / "MidF" / "scene1"
+    scene.mkdir(parents=True)
+    img = RNG.integers(0, 255, (16, 20, 3)).astype(np.uint8)
+    _write_png(scene / "im0.png", img)
+    _write_png(scene / "im1.png", img)
+    disp = RNG.uniform(1.0, 30.0, (16, 20)).astype(np.float32)
+    disp[0, 0] = np.inf  # unknown-GT pixel
+    write_pfm(str(scene / "disp0GT.pfm"), disp)
+    nocc = np.full((16, 20), 255, np.uint8)
+    nocc[:, :5] = 128  # occluded strip
+    _write_png(scene / "mask0nocc.png", nocc)
+
+    ds = MiddleburyDataset(str(tmp_path), split="F")
+    assert len(ds) == 1
+    s = ds[0]
+    # PFM rows are bottom-up; compare via the mask semantics, not raw rows.
+    got = s["valid"]
+    assert got.shape == (16, 20)
+    assert not got[:, :5].any(), "occluded strip must be invalid"
+    assert got[:, 5:].sum() == 16 * 15 - int(np.isinf(disp[::-1][:, 5:]).sum())
+    assert not s["valid"][np.isinf(s["disp_gt"])].any() if np.isinf(
+        s["disp_gt"]).any() else True
+
+
+def test_eth3d_nocc_validity(tmp_path):
+    """ETH3D validation restricts to mask0nocc==255
+    (KITTI15/evaluate_stereo.py:48-52)."""
+    from diffuvolume_tpu.data.readers import write_pfm
+    from diffuvolume_tpu.data.zoo import ETH3DDataset
+
+    scene = tmp_path / "two_view_training" / "sceneA"
+    gt = tmp_path / "two_view_training_gt" / "sceneA"
+    scene.mkdir(parents=True)
+    gt.mkdir(parents=True)
+    img = RNG.integers(0, 255, (12, 16, 3)).astype(np.uint8)
+    _write_png(scene / "im0.png", img)
+    _write_png(scene / "im1.png", img)
+    disp = RNG.uniform(1.0, 30.0, (12, 16)).astype(np.float32)
+    write_pfm(str(gt / "disp0GT.pfm"), disp)
+    nocc = np.full((12, 16), 255, np.uint8)
+    nocc[3:6] = 0
+    _write_png(gt / "mask0nocc.png", nocc)
+
+    ds = ETH3DDataset(str(tmp_path))
+    assert len(ds) == 1
+    s = ds[0]
+    assert not s["valid"][3:6].any()
+    assert s["valid"][:3].all() and s["valid"][6:].all()

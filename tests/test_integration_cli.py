@@ -164,3 +164,29 @@ def test_build_experiment_config_roundtrip():
     assert cfg.model.backbone == "igev" and cfg.model.diffusion
     assert cfg.optim.optimizer == "adamw" and cfg.optim.grad_clip == 1.0
     assert cfg.optim.bf16 and cfg.parallel.volume_axis == 2
+
+
+def test_train_cli_kitti12_recipe_with_epoch_eval(synthetic_sceneflow, tmp_path,
+                                                  monkeypatch, capsys):
+    """KITTI12/PCW recipe dispatch incl. the per-epoch two-model DDIM eval
+    with best-D1 tracking — the recipe's defining behavior
+    (KITTI12/main.py:117-137)."""
+    from diffuvolume_tpu.cli import train as train_cli
+    from diffuvolume_tpu.data import sceneflow as sf
+
+    monkeypatch.setattr(sf.SceneFlowDataset, "TRAIN_CROP", (64, 128))
+    monkeypatch.setattr(sf.SceneFlowDataset, "TEST_CROP", (64, 128))
+    logdir = str(tmp_path / "ckpts_pcw")
+    train_cli.main([
+        "--datapath", synthetic_sceneflow,
+        "--model", "pcwnet_ddim", "--maxdisp", "128",
+        "--batch_size", "2", "--epochs", "1",
+        "--lr", "1e-3", "--lrepochs", "10:2", "--num_workers", "2",
+        "--eval_freq", "1", "--eval_max_images", "1",
+        "--logdir", logdir,
+    ])
+    from diffuvolume_tpu.train.checkpoint import latest_step
+
+    assert latest_step(logdir) == 2
+    out = capsys.readouterr().out
+    assert "eval: D1" in out and "(best)" in out
