@@ -50,9 +50,28 @@ def _stages(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig):
 
     @jax.jit
     def sample(ddim_vars, ac_volume, baseline_disp, baseline_latent, rng):
+        import os
+
+        from diffuvolume_tpu.models.acv import acv_denoise_fast
+        from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
         h, w = baseline_disp.shape[1], baseline_disp.shape[2]
+        # TPU eval A/B: packed-persistent aggregation chains (acv_denoise_
+        # fast — numerically equal, parity-tested).  Default OFF: end-to-end
+        # the XLA pack transposes poison the neighboring dres0_0 conv's
+        # strategy (2.5 -> 39.5 ms/step measured; bench 2.60 -> 1.69) — the
+        # boundary pack/unpack must become Pallas kernels before this wins.
+        fast = (
+            is_tpu_lowering()
+            and "batch_stats" in ddim_vars
+            and os.environ.get("DIFFU_ACV_PACKED", "0") == "1"
+        )
 
         def denoise_fn(latent, t):
+            if fast:
+                return acv_denoise_fast(
+                    ddim_model, ddim_vars, ac_volume, latent, t, (h, w)
+                )
             return ddim_model.apply(
                 ddim_vars, ac_volume, latent, t, (h, w), method=ACVNet.denoise
             )

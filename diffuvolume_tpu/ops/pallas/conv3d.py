@@ -381,3 +381,196 @@ def conv3d_fold(
         .reshape(b, d, h, w, co)
     )
     return out[..., :co_real]
+
+
+# ---------------------------------------------------------------------------
+# v3 "chain" kernel: packed-persistent, self-padding
+# ---------------------------------------------------------------------------
+#
+# Device-trace finding (r3): the v2 fold kernel's custom-call costs 1.24 ms at
+# (48,128,240,32) — 2× faster than the in-program XLA conv (2.5 ms) — but the
+# per-call wrapper (lane pack 8-D transposes + host-side pads + unpack) costs
+# another ~4 ms, which is why forcing v2 inside the model REGRESSED.  v3 keeps
+# the volume in the packed+padded geometry ACROSS consecutive convolutions:
+#   * `pack_padded` runs ONCE per tower: (B,D,H,W,C) →
+#     (B, cells+2, (tiles+2)·th, wp, 128) with zero halo cells/tiles/columns.
+#   * `conv3d_fold_p` consumes AND produces that geometry: border blocks are
+#     written as zeros in-kernel and interior outputs are masked outside the
+#     real (h, w) region, so NO host-side re-pad is needed between convs.
+#   * optional residual input (same geometry) and fused bias/BN-scale + ReLU
+#     epilogue; co < C pads the output channels with zero weights (classifier
+#     heads) — slice after `unpack_padded`.
+
+
+def pack_padded(x: jax.Array, tile_h: int = 8) -> jax.Array:
+    """(B, D, H, W, C) → self-padded packed volume (see header)."""
+    b, d, h, w, c = x.shape
+    p = 128 // c
+    assert c * p == 128 and d % p == 0, (c, d)
+    th = tile_h
+    n_tiles = -(-h // th)
+    wp = -(-(w + 2) // 8) * 8
+    pk = _pack(x, p)
+    return jnp.pad(
+        pk, ((0, 0), (1, 1), (th, th + n_tiles * th - h), (1, wp - w - 1), (0, 0))
+    )
+
+
+def unpack_padded(pk: jax.Array, d: int, h: int, w: int, co: int,
+                  tile_h: int = 8) -> jax.Array:
+    """Inverse of pack_padded (+ channel slice for padded-co heads)."""
+    b, cells_p = pk.shape[0], pk.shape[1]
+    cells = cells_p - 2
+    p = d // cells
+    inner = pk[:, 1:-1, tile_h : tile_h + h, 1 : 1 + w, :]
+    c_pad = pk.shape[-1] // p
+    out = (
+        inner.reshape(b, cells, h, w, p, c_pad)
+        .transpose(0, 1, 4, 2, 3, 5)
+        .reshape(b, d, h, w, c_pad)
+    )
+    return out[..., :co]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret"),
+)
+def conv3d_fold_p(
+    pk: jax.Array,
+    k3: jax.Array,
+    bias: jax.Array | None = None,
+    relu: bool = False,
+    residual: jax.Array | None = None,
+    *,
+    w_real: int,
+    h_real: int,
+    tile_h: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """3×3×3 stride-1 pad-1 conv, packed-padded in → packed-padded out.
+
+    Numerically equal to conv → (+bias) → (+residual) → (ReLU) on the
+    unpacked volume.  ``residual`` must share pk's geometry.  ``C_out ≤ C``
+    (smaller co is zero-padded in lanes).
+    """
+    b, cells_p, rows_p, wp, _ = pk.shape
+    th = tile_h
+    cells = cells_p - 2
+    n_tiles = rows_p // th - 2
+    c, co = k3.shape[3], k3.shape[4]
+    p = 128 // c
+    assert c * p == 128, c
+    assert co <= c, (co, c)
+    if co < c:
+        k3 = jnp.pad(k3, ((0, 0),) * 4 + ((0, c - co),))
+        if bias is not None:
+            bias = jnp.pad(bias, (0, c - co))
+        co = c
+    lw = (p + 2) * c
+    n_lanes = 128
+
+    wb = _banded_weights_fold(k3, p).astype(pk.dtype)
+    if bias is None:
+        bias = jnp.zeros((co,), jnp.float32)
+    b_tiled = jnp.tile(bias.astype(jnp.float32), (p,))[None]
+
+    grid = (b, cells_p, n_tiles + 2)
+
+    def cell_spec(dc, dh):
+        # Clamped halo indices: border blocks read garbage but write zeros.
+        return pl.BlockSpec(
+            (1, 1, th, wp, 128),
+            functools.partial(
+                lambda bi, di, hi, dc, dh: (
+                    bi,
+                    jnp.clip(di + dc - 1, 0, cells_p - 1),
+                    jnp.clip(hi + dh - 1, 0, n_tiles + 1),
+                    0,
+                    0,
+                ),
+                dc=dc,
+                dh=dh,
+            ),
+        )
+
+    in_specs = [cell_spec(dc, dh) for dc in range(3) for dh in range(3)]
+    in_specs.append(
+        pl.BlockSpec((3, 3, lw, n_lanes), lambda bi, di, hi: (0,) * 4)
+    )
+    in_specs.append(pl.BlockSpec((1, n_lanes), lambda bi, di, hi: (0, 0)))
+    n_fixed = len(in_specs)
+    inputs = [*[pk] * 9, wb, b_tiled]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, th, wp, 128), lambda bi, di, hi: (bi, di, hi, 0, 0))
+        )
+        inputs.append(residual)
+
+    def body(*args):
+        if residual is not None:
+            *xs, w_ref, b_ref, r_ref, o_ref = args
+        else:
+            *xs, w_ref, b_ref, o_ref = args
+            r_ref = None
+        m = th * wp
+        di = pl.program_id(1)
+        hi = pl.program_id(2)
+        interior = (
+            (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
+        )
+
+        def rows(prev, cur, nxt):
+            # th+4 rows: 2 halo rows above (the extra one absorbs the -1 flat
+            # offset of the (dy=0, dx=0) tap), th rows, 2 below.
+            return jnp.concatenate(
+                [prev[0, 0, th - 2 :], cur[0, 0], nxt[0, 0, 0:2]], axis=0
+            )
+
+        wm1 = rows(xs[0], xs[1], xs[2])[..., 128 - c :]
+        w0 = rows(xs[3], xs[4], xs[5])
+        wp1 = rows(xs[6], xs[7], xs[8])[..., :c]
+        win = jnp.concatenate([wm1, w0, wp1], axis=-1)  # (th+4, wp, lw)
+        flat = win.reshape((th + 4) * wp, lw)
+
+        acc = jnp.zeros((m, n_lanes), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                # Output padded (r, x) = conv centered at padded (r, x), i.e.
+                # real (r-1, x-1): tap (dy, dx) reads padded row r-1+dy =
+                # window row r+1+dy, col x-1+dx.
+                shift = (dy + 1) * wp + dx - 1
+                acc += jnp.dot(
+                    flat[shift : shift + m],
+                    w_ref[dy, dx],
+                    preferred_element_type=jnp.float32,
+                )
+        acc += b_ref[0].astype(jnp.float32)
+        if r_ref is not None:
+            acc += r_ref[0, 0].reshape(m, n_lanes).astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        # Zero everything outside the real region: border blocks entirely,
+        # cols outside [1, w], rows ≥ h within the last interior tile.
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        col = ridx % wp
+        row = ridx // wp
+        ok = (
+            (col >= 1)
+            & (col <= w_real)
+            & ((hi - 1) * th + row < h_real)
+            & interior
+        )
+        acc = jnp.where(ok, acc, 0.0)
+        o_ref[0, 0] = acc.reshape(th, wp, n_lanes).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th, wp, n_lanes), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(pk.shape, pk.dtype),
+        interpret=interpret,
+    )(*inputs)

@@ -61,6 +61,20 @@ def main(argv=None):
         jnp.abs(rnd(3, (b, h4, w4), jnp.float32)) * 15.0, cfg.num_bins, cfg.scale
     )
 
+    import os
+
+    use_fast = os.environ.get("DIFFU_ACV_PACKED", "0") == "1"
+    if use_fast:
+        from diffuvolume_tpu.models.acv import acv_denoise_fast
+
+    def _denoise(latent, t):
+        if use_fast:
+            return acv_denoise_fast(model, variables, ac_volume, latent, t,
+                                    (h, w))
+        return model.apply(
+            variables, ac_volume, latent, t, (h, w), method=ACVNet.denoise
+        )
+
     if args.denoise_only:
         @jax.jit
         def run(ac_volume, latent, t):
@@ -74,9 +88,7 @@ def main(argv=None):
         @jax.jit
         def run(ac_volume, baseline_disp, baseline_latent, key):
             def denoise_fn(latent, t):
-                return model.apply(
-                    variables, ac_volume, latent, t, (h, w), method=ACVNet.denoise
-                )
+                return _denoise(latent, t)
 
             final, _ = ddim_sample(
                 sched, cfg, denoise_fn, baseline_disp, baseline_latent, key

@@ -147,3 +147,39 @@ def test_unfold_conv2d_matches_xla(k, s, p, ci, co, bias):
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_acv_denoise_fast_matches_module(tmp_path):
+    """Packed-chain TPU fast path == ACVNet.denoise (interpret mode, CPU).
+
+    BN folding + fold-kernel chains vs the module's XLA path; also the guard
+    that lets eval/pipeline dispatch to acv_denoise_fast on TPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffuvolume_tpu.models.acv import ACVNet, acv_denoise_fast
+
+    h, w, md = 32, 64, 64
+    rng = jax.random.PRNGKey(0)
+    m = ACVNet(max_disp=md, diffusion=True)
+    left = jax.random.normal(rng, (1, h, w, 3)) * 0.3
+    variables = m.init(
+        jax.random.PRNGKey(1), left, left, jnp.zeros((1, h // 4, w // 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, md // 4, h // 4, w // 4)),
+        train=True,
+    )
+    vol = jax.random.normal(jax.random.fold_in(rng, 2),
+                            (1, md // 4, h // 4, w // 4, 64)) * 0.5
+    latent = jax.random.normal(jax.random.fold_in(rng, 3),
+                               (1, md // 4, h // 4, w // 4))
+    t = jnp.full((1,), 300, jnp.int32)
+
+    want = m.apply(variables, vol, latent, t, (h, w), method=ACVNet.denoise,
+                   mutable=False)
+    got = acv_denoise_fast(m, variables, vol, latent, t, (h, w),
+                           interpret=True)
+    for name, a, b in zip(("disp", "unc", "noise"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"fast-path {name} diverged")
