@@ -292,7 +292,7 @@ def acv_denoise_fast(
     """ACVNet.denoise with packed conv chains — numerically equal (BN folded
     in f32; conv kernel parity ~1e-4) — eval only."""
     from diffuvolume_tpu.ops.pallas.conv3d import (
-        conv3d_fold_p, pack_padded, unpack_padded,
+        conv3d_fold_p, conv3d_fold_x2, pack_padded_k, unpack_padded_k,
     )
     from diffuvolume_tpu.ops.pallas.fused_head import fused_upsample_softargmin
 
@@ -306,16 +306,19 @@ def acv_denoise_fast(
     noise = (noise / model.scale + 1.0) / 2.0
     vol = ac_volume * noise[..., None].astype(ac_volume.dtype)
 
-    def conv_xla(x, k, bias, relu=True):
-        y = jax.lax.conv_general_dilated(
-            x.astype(dt), k.astype(dt), (1, 1, 1), [(1, 1)] * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        ) + bias.astype(dt)
-        return jax.nn.relu(y) if relu else y
+    def pack(x, t):
+        return pack_padded_k(x, t, interpret=interpret)
 
+    def unpack(pkx, dd, hh, ww, cc, t):
+        return unpack_padded_k(pkx, dd, hh, ww, cc, t, interpret=interpret)
+
+    # dres0_0 (64→32) via the cross-packing kernel: ANY XLA conv whose
+    # output feeds a custom-call picks a catastrophic strategy here
+    # (6.9 → 39.5 ms/step measured), so the whole step stays packed.
     k00, b00 = _fold_convbn_params(variables, "dres0_0")
-    y = conv_xla(vol, k00, b00)  # 64→32: different packing, stays XLA
-    pk = pack_padded(y, th)
+    pk64 = pack(vol, th)
+    pk = conv3d_fold_x2(pk64, k00.astype(dt), b00, relu=True,
+                        w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
     k01, b01 = _fold_convbn_params(variables, "dres0_1")
     pk_y = conv3d_fold_p(pk, k01.astype(dt), b01, relu=True,
                          w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
@@ -326,7 +329,7 @@ def acv_denoise_fast(
     pk_c0 = conv3d_fold_p(pk_z, k11.astype(dt), b11, relu=False,
                           residual=pk_y, w_real=w4, h_real=h4, tile_h=th,
                           interpret=interpret)
-    cost0 = unpack_padded(pk_c0, d, h4, w4, 32, th).astype(dt)
+    cost0 = unpack(pk_c0, d, h4, w4, 32, th).astype(dt)
 
     out1 = model.apply(variables, cost0, False,
                        method=lambda m, x, tr: m.dres2(x, tr))
@@ -334,12 +337,12 @@ def acv_denoise_fast(
                        method=lambda m, x, tr: m.dres3(x, tr))
 
     kc0, bc0 = _fold_convbn_params(variables, "classif2_0")
-    pk_h = conv3d_fold_p(pack_padded(out2, th), kc0.astype(dt), bc0, relu=True,
+    pk_h = conv3d_fold_p(pack(out2, th), kc0.astype(dt), bc0, relu=True,
                          w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
     k_head = variables["params"]["classif2_1"]["kernel"]
     pk_c = conv3d_fold_p(pk_h, k_head.astype(dt), w_real=w4, h_real=h4,
                          tile_h=th, interpret=interpret)
-    cost = unpack_padded(pk_c, d, h4, w4, 1, th)[..., 0]
+    cost = unpack(pk_c, d, h4, w4, 1, th)[..., 0]
 
     disp, unc = fused_upsample_softargmin(
         cost.astype(jnp.float32), model.max_disp, out_hw,

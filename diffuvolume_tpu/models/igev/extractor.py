@@ -111,7 +111,7 @@ class BasicConvBN(nn.Module):
             )
 
             kernel = _ConvKernel((*k, x.shape[-1], self.features), name="conv")()
-            if _conv1x1_dot_ok(x, k, s, (1, 1, 1), 1, train):
+            if _conv1x1_dot_ok(x, k, s, (1, 1, 1), 1, train, default="1"):
                 # 1×1×1 conv as a minor-dim dot (GEV hourglass agg heads ran
                 # at 0.5 TF/s through XLA's conv emitter — see conv1x1_dot).
                 x = conv1x1_dot(x, kernel, dtype=self.dtype)

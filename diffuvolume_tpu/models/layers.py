@@ -192,9 +192,10 @@ def conv1x1_dot(x: jax.Array, kernel: jax.Array, dtype=None) -> jax.Array:
 
     Measured VERDICT (r3): on the ACV aggregation redirs at (48,128,240,32)
     the dot REGRESSES the DDIM step 55 → 77 ms (the dot's output layout
-    forces relayouts of the 94 MB volumes feeding the neighboring convs), so
-    DIFFU_CONV1X1_DOT defaults OFF; kept as an A/B for the small-volume GEV
-    agg heads."""
+    forces relayouts of the 94 MB volumes feeding the neighboring convs) —
+    ConvBN defaults it OFF.  On the IGEV GEV hourglass agg heads it WINS
+    end-to-end (bench_igev 4.80 → 4.91 pairs/s) — BasicConvBN defaults it
+    ON.  DIFFU_CONV1X1_DOT=0/1 overrides both."""
     dt = dtype or x.dtype
     c_in, c_out = kernel.shape[-2], kernel.shape[-1]
     k2 = kernel.reshape(c_in, c_out)
@@ -204,12 +205,12 @@ def conv1x1_dot(x: jax.Array, kernel: jax.Array, dtype=None) -> jax.Array:
     )
 
 
-def _conv1x1_dot_ok(x, k, s, d, groups, train) -> bool:
+def _conv1x1_dot_ok(x, k, s, d, groups, train, default="0") -> bool:
     from diffuvolume_tpu.utils.platform import is_tpu_lowering
 
     return (
         not train
-        and os.environ.get("DIFFU_CONV1X1_DOT", "0") == "1"
+        and os.environ.get("DIFFU_CONV1X1_DOT", default) == "1"
         and all(ki == 1 for ki in k)
         and all(si == 1 for si in s)
         and all(di == 1 for di in d)

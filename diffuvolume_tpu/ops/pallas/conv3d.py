@@ -574,3 +574,235 @@ def conv3d_fold_p(
         out_shape=jax.ShapeDtypeStruct(pk.shape, pk.dtype),
         interpret=interpret,
     )(*inputs)
+
+
+# Pallas pack/unpack: the XLA 8-D transposes that implement _pack/unpack are
+# not just slow themselves (~0.7-1.0 ms at 94 MB) — as CONSUMERS they poison
+# the layout/strategy choice of adjacent XLA convolutions (measured: the
+# 64→32 dres0_0 conv went 2.5 → 39.5 ms/step when its output fed
+# pack_padded).  Custom-calls pin standard operand layouts, so doing the
+# repack inside Pallas isolates the neighbors.
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def pack_padded_k(x: jax.Array, tile_h: int = 8,
+                  interpret: bool = False) -> jax.Array:
+    """Pallas-kernel version of pack_padded (same output, no XLA transpose).
+
+    Requires ``H % tile_h == 0`` (true at the aggregation shapes).
+    """
+    b, d, h, w, c = x.shape
+    p = 128 // c
+    assert c * p == 128 and d % p == 0, (c, d)
+    th = tile_h
+    assert h % th == 0, (h, th)
+    n_tiles = h // th
+    wp = -(-(w + 2) // 8) * 8
+    cells = d // p
+    grid = (b, cells + 2, n_tiles + 2)
+
+    def phi_spec(phi):
+        return pl.BlockSpec(
+            (1, 1, th, w, c),
+            functools.partial(
+                lambda bi, di, hi, phi: (
+                    bi,
+                    jnp.clip((di - 1) * p + phi, 0, d - 1),
+                    jnp.clip(hi - 1, 0, n_tiles - 1),
+                    0,
+                    0,
+                ),
+                phi=phi,
+            ),
+        )
+
+    in_specs = [phi_spec(phi) for phi in range(p)]
+
+    def body(*args):
+        *xs, o_ref = args
+        di = pl.program_id(1)
+        hi = pl.program_id(2)
+        interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
+        lanes = jnp.concatenate([r[0, 0] for r in xs], axis=-1)  # (th, w, 128)
+        tile = jnp.pad(lanes, ((0, 0), (1, wp - w - 1), (0, 0)))
+        scale = jnp.where(interior, 1.0, 0.0).astype(tile.dtype)
+        o_ref[0, 0] = tile * scale
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th, wp, 128), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cells + 2, (n_tiles + 2) * th, wp, 128), x.dtype
+        ),
+        interpret=interpret,
+    )(*[x] * p)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "h", "w", "co", "tile_h", "interpret")
+)
+def unpack_padded_k(pk: jax.Array, d: int, h: int, w: int, co: int,
+                    tile_h: int = 8, interpret: bool = False) -> jax.Array:
+    """Pallas-kernel version of unpack_padded."""
+    b, cells_p = pk.shape[0], pk.shape[1]
+    cells = cells_p - 2
+    p = d // cells
+    c_pad = pk.shape[-1] // p
+    th = tile_h
+    assert h % th == 0, (h, th)
+    n_tiles = h // th
+    grid = (b, cells, n_tiles)
+
+    def body(x_ref, o_ref):
+        tile = x_ref[0, 0]  # (th, wp, 128)
+        for phi in range(p):
+            o_ref[0, phi] = tile[:, 1 : 1 + w, phi * c_pad : phi * c_pad + co]
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, th, pk.shape[3], 128),
+                lambda bi, di, hi: (bi, di + 1, hi + 1, 0, 0),
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, p, th, w, co), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w, co), pk.dtype),
+        interpret=interpret,
+    )(pk)
+
+
+def _banded_weights_x2(k3: jax.Array) -> jax.Array:
+    """(3,3,3,64,32) → (3 dy, 3 dx, 512, 128) cross-packing banded weights.
+
+    Input lanes: 4 input cells (the p_in=2 packing, cells ``2r-1..2r+2``
+    around out cell ``r``) × 2 phases × 64 ch; output lanes: 4 phases × 32 ch.
+    ``d_in = d_out + dz - 1`` ⇒ ``dz = 2a + φ2 - φ4 - 1``.
+    """
+    c, co = k3.shape[3], k3.shape[4]
+    assert (c, co) == (64, 32), (c, co)
+    out = jnp.zeros((3, 3, 512, 128), k3.dtype)
+    for a in range(4):
+        for phi2 in range(2):
+            for phi4 in range(4):
+                dz = 2 * a + phi2 - phi4 - 1
+                if 0 <= dz < 3:
+                    li = a * 128 + phi2 * 64
+                    lo = phi4 * 32
+                    out = out.at[:, :, li : li + 64, lo : lo + 32].add(k3[dz])
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret")
+)
+def conv3d_fold_x2(
+    pk64: jax.Array,
+    k3: jax.Array,
+    bias: jax.Array | None = None,
+    relu: bool = False,
+    *,
+    w_real: int,
+    h_real: int,
+    tile_h: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """3×3×3 conv, 64-ch packed-padded in → 32-ch packed-padded out.
+
+    The ACV aggregation entry (dres0_0, 64→32): XLA's conv here chose a
+    39.5 ms strategy once its consumer became a custom-call (device trace
+    r3); this kernel keeps the whole denoise step packed instead.  Exact.
+    """
+    b, cells24_p, rows_p, wp, _ = pk64.shape
+    th = tile_h
+    cells24 = cells24_p - 2
+    cells12 = cells24 // 2
+    n_tiles = rows_p // th - 2
+    assert k3.shape == (3, 3, 3, 64, 32), k3.shape
+
+    wb = _banded_weights_x2(k3).astype(pk64.dtype)
+    if bias is None:
+        bias = jnp.zeros((32,), jnp.float32)
+    b_tiled = jnp.tile(bias.astype(jnp.float32), (4,))[None]  # (1, 128)
+
+    grid = (b, cells12 + 2, n_tiles + 2)
+
+    def cell_spec(a, dh):
+        return pl.BlockSpec(
+            (1, 1, th, wp, 128),
+            functools.partial(
+                lambda bi, di, hi, a, dh: (
+                    bi,
+                    jnp.clip(2 * di - 2 + a, 0, cells24_p - 1),
+                    jnp.clip(hi + dh - 1, 0, n_tiles + 1),
+                    0,
+                    0,
+                ),
+                a=a,
+                dh=dh,
+            ),
+        )
+
+    in_specs = [cell_spec(a, dh) for a in range(4) for dh in range(3)]
+    in_specs.append(pl.BlockSpec((3, 3, 512, 128), lambda bi, di, hi: (0,) * 4))
+    in_specs.append(pl.BlockSpec((1, 128), lambda bi, di, hi: (0, 0)))
+
+    def body(*args):
+        *xs, w_ref, b_ref, o_ref = args
+        m = th * wp
+        di = pl.program_id(1)
+        hi = pl.program_id(2)
+        interior = (di >= 1) & (di <= cells12) & (hi >= 1) & (hi <= n_tiles)
+
+        def rows(prev, cur, nxt):
+            return jnp.concatenate(
+                [prev[0, 0, th - 2 :], cur[0, 0], nxt[0, 0, 0:2]], axis=0
+            )
+
+        wins = [rows(xs[3 * a], xs[3 * a + 1], xs[3 * a + 2]) for a in range(4)]
+        win = jnp.concatenate(wins, axis=-1)  # (th+4, wp, 512)
+        flat = win.reshape((th + 4) * wp, 512)
+
+        acc = jnp.zeros((m, 128), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                shift = (dy + 1) * wp + dx - 1
+                acc += jnp.dot(
+                    flat[shift : shift + m],
+                    w_ref[dy, dx],
+                    preferred_element_type=jnp.float32,
+                )
+        acc += b_ref[0].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        col = ridx % wp
+        row = ridx // wp
+        ok = (
+            (col >= 1)
+            & (col <= w_real)
+            & ((hi - 1) * th + row < h_real)
+            & interior
+        )
+        acc = jnp.where(ok, acc, 0.0)
+        o_ref[0, 0] = acc.reshape(th, wp, 128).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th, wp, 128), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cells12 + 2, rows_p, wp, 128), pk64.dtype
+        ),
+        interpret=interpret,
+    )(*[pk64] * 12, wb, b_tiled)
