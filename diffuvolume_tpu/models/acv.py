@@ -298,7 +298,10 @@ def acv_denoise_fast(
 
     dt = model.dtype
     b, d, h4, w4, _ = ac_volume.shape
-    th = 8 if w4 <= 258 else 4
+    # th=4: the cross-packing 64→32 kernel's 12-ref + 512-lane window blows
+    # the VMEM budget at th=8 (relay compile crash); th=4 compiles and the
+    # whole path must share one tile geometry.
+    th = 4
 
     noise = model.apply(variables, latent, t,
                         method=lambda m, l, tt: m.time_embedding(l, tt))

@@ -1,13 +1,18 @@
 """One-TPU-chip training-step throughput (SceneFlow ACV recipe).
 
-Measures the full jitted train step (forward + backward + adam update) at the
-reference's training crop 256×512 (SceneFlow/main.py crop), bf16 compute with
-f32 master params, on the real chip.  Chained steps on the SAME donated state
-with per-iteration fold_in rngs defeat the relay result cache (CLAUDE.md).
+Measures the full jitted train step (forward + backward + adam update), bf16
+compute with f32 master params, on the real chip.
+
+MEASURED LIMITATION of this environment (r3): through the remote-TPU relay
+the wall time is DOMINATED by tunnel transfer of the ~75 MB train state —
+the device-plane trace of one step shows 5 opaque ~18 s events with ZERO
+XLA device ops (the chip is idle; tools/parse_trace on /tmp/r3_trace_train).
+Wall numbers from this tool therefore measure the tunnel, not the chip; real
+single-host training throughput needs local-chip hardware.  Additionally the
+256×512 backward program crashes the relay compile helper (HTTP 500) —
+128×256 compiles.
 
     python -m diffuvolume_tpu.tools.bench_train [--batch 4] [--iters 8] [--f32]
-
-Prints steps/s and samples/s/chip.
 """
 
 from __future__ import annotations
@@ -71,23 +76,33 @@ def main(argv=None):
                                       minval=1.0, maxval=150.0),
     }
 
-    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    # Chain steps INSIDE one jit: separate dispatches round-trip the full
+    # state through the relay (measured 18 s/step of pure transfer).
+    @jax.jit
+    def run(state, batch, key):
+        def body(carry, i):
+            st, _ = carry
+            st, metrics = step_fn(st, batch, jax.random.fold_in(key, i))
+            return (st, metrics["loss"]), None
+
+        (st, loss), _ = jax.lax.scan(
+            body, (state, jnp.zeros(())), jnp.arange(args.iters)
+        )
+        return st, loss
 
     t0 = time.perf_counter()
-    state, metrics = jitted(state, batch, jax.random.PRNGKey(2))
-    jax.block_until_ready(metrics["loss"])
+    state, loss = run(state, batch, jax.random.PRNGKey(2))
     print(f"compile+first: {time.perf_counter() - t0:.1f}s "
-          f"loss={float(metrics['loss']):.3f}", flush=True)
+          f"loss={float(loss):.3f}", flush=True)
 
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        state, metrics = jitted(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+    state, loss = run(state, batch, jax.random.PRNGKey(3))
+    loss = float(loss)  # host fetch forces completion (relay caveat)
     dt = (time.perf_counter() - t0) / args.iters
     print(
         f"train_step {h}x{w} b={b} {'f32' if args.f32 else 'bf16'}: "
         f"{dt * 1e3:.1f} ms/step = {1 / dt:.3f} steps/s = "
-        f"{b / dt:.3f} samples/s/chip  (loss {float(metrics['loss']):.3f})",
+        f"{b / dt:.3f} samples/s/chip  (loss {loss:.3f})",
         flush=True,
     )
 
