@@ -609,9 +609,11 @@ class ConvTransposeBN(nn.Module):
             2: ("NHWC", "HWIO", "NHWC"),
             3: ("NDHWC", "DHWIO", "NDHWC"),
         }[ndim]
+        force_all = os.environ.get("DIFFU_DECONV_PHASE_ALL", "0") == "1"
         if (ndim == 3 and s == (2, 2, 2) and p == (1, 1, 1)
                 and (k, op) in (((4,) * 3, (0,) * 3), ((3,) * 3, (1,) * 3))
-                and conv3x3x3_fast(x, train, force=x.shape[-1] <= 32)):
+                and conv3x3x3_fast(x, train,
+                                   force=force_all or x.shape[-1] <= 32)):
             # XLA's lhs-dilated conv is pathological at the small-channel
             # cost-volume shapes (IGEV conv1_up c=16: 3.8→1.2 ms/model;
             # conv2_up c=32 at (12,24,78): 1.5 ms for 5 real GFLOP) — run
