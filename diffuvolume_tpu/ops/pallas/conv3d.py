@@ -806,3 +806,162 @@ def conv3d_fold_x2(
         ),
         interpret=interpret,
     )(*[pk64] * 12, wb, b_tiled)
+
+
+def _banded_weights_s2(k3: jax.Array, p_in: int) -> jax.Array:
+    """Stride-2-in-D banded weights: (3,3,3,C,2C) → (3,3,(p_in+2)·C, 128).
+
+    With ``c_out = 2·c_in`` the cell count is preserved (p_out = p_in/2) and
+    ``d_in = 2·d_out + dz - 1`` gives window phase offset ``δ = 2φo + dz - 1``
+    — the same ``δ ∈ [-1, p_in]`` halo window as the stride-1 fold kernel.
+    """
+    c, co = k3.shape[3], k3.shape[4]
+    p_out = 128 // co
+    assert p_in == 2 * p_out and c * p_in == 128, (c, co, p_in)
+    out = jnp.zeros((3, 3, (p_in + 2) * c, 128), k3.dtype)
+    for phi_o in range(p_out):
+        for dz in range(3):
+            delta = 2 * phi_o + dz - 1
+            out = out.at[
+                :, :, (delta + 1) * c : (delta + 2) * c,
+                phi_o * co : (phi_o + 1) * co,
+            ].add(k3[dz])
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret")
+)
+def conv3d_fold_s2(
+    pk: jax.Array,
+    k3: jax.Array,
+    bias: jax.Array | None = None,
+    relu: bool = False,
+    *,
+    w_real: int,
+    h_real: int,
+    tile_h: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """3×3×3 STRIDE-2 pad-1 conv, packed-padded in → packed-padded out at
+    half resolution (``c_out = 2·c_in``, cells preserved).
+
+    The missing piece of the all-Pallas aggregation tower: XLA's stride-2
+    conv3ds join the strategy-poisoning whack-a-mole next to custom-calls
+    (CLAUDE.md r3).  NO strided slices are used — the stride-2 row/column
+    access patterns come from parity-select views (reshape-split of non-lane
+    dims), which Mosaic lowers for free.
+
+    ``w_real``/``h_real`` are the INPUT real sizes (output = halves).
+    ``tile_h`` is the INPUT tile height (output tiles are tile_h // 2).
+    """
+    b, cells_p, rows_p, wp, _ = pk.shape
+    th = tile_h
+    assert th % 2 == 0, th
+    th_o = th // 2
+    cells = cells_p - 2
+    n_tiles = rows_p // th - 2
+    c, co = k3.shape[3], k3.shape[4]
+    p_in = 128 // c
+    assert co == 2 * c, (c, co)
+    h_o, w_o = h_real // 2, w_real // 2
+    wp_o = -(-(w_o + 2) // 8) * 8
+    lw = (p_in + 2) * c
+    # The parity-select column views read up to 2 + 2·wp_o + 2 window cols.
+    wpad = max(0, 2 * wp_o + 2 - (wp + 2))
+
+    wb = _banded_weights_s2(k3, p_in).astype(pk.dtype)
+    if bias is None:
+        bias = jnp.zeros((co,), jnp.float32)
+    b_tiled = jnp.tile(bias.astype(jnp.float32), (128 // co,))[None]
+
+    grid = (b, cells_p, n_tiles + 2)
+
+    def cell_spec(dc, dh):
+        return pl.BlockSpec(
+            (1, 1, th, wp, 128),
+            functools.partial(
+                lambda bi, di, hi, dc, dh: (
+                    bi,
+                    jnp.clip(di + dc - 1, 0, cells_p - 1),
+                    jnp.clip(hi + dh - 1, 0, n_tiles + 1),
+                    0,
+                    0,
+                ),
+                dc=dc,
+                dh=dh,
+            ),
+        )
+
+    in_specs = [cell_spec(dc, dh) for dc in range(3) for dh in range(3)]
+    in_specs.append(pl.BlockSpec((3, 3, lw, 128), lambda bi, di, hi: (0,) * 4))
+    in_specs.append(pl.BlockSpec((1, 128), lambda bi, di, hi: (0, 0)))
+
+    def body(*args):
+        *xs, w_ref, b_ref, o_ref = args
+        di = pl.program_id(1)
+        hi = pl.program_id(2)
+        interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
+
+        def rows(prev, cur, nxt):
+            # th+3 rows starting at in_pad row (2·t·th_o − 2): prev[-2:] +
+            # cur + nxt[:1].
+            return jnp.concatenate(
+                [prev[0, 0, th - 2 :], cur[0, 0], nxt[0, 0, 0:1]], axis=0
+            )
+
+        wm1 = rows(xs[0], xs[1], xs[2])[..., 128 - c :]
+        w0 = rows(xs[3], xs[4], xs[5])
+        wp1 = rows(xs[6], xs[7], xs[8])[..., :c]
+        win = jnp.concatenate([wm1, w0, wp1], axis=-1)  # (th+3, wp, lw)
+        # In_pad col for out_pad col x is 2x + dx - 2: prepend two zero
+        # columns so the parity views start at non-negative offsets; append
+        # enough for the 2·wp_o reach.
+        win = jnp.concatenate(
+            [jnp.zeros((th + 3, 2, lw), win.dtype), win,
+             jnp.zeros((th + 3, wpad, lw), win.dtype)], axis=1
+        )
+        m_o = th_o * wp_o
+        acc = jnp.zeros((m_o, 128), jnp.float32)
+        for dy in range(3):
+            # In_pad row for out_pad row r is 2r + dy - 1 → window row
+            # 2·r_loc + dy + 1: split-parity view (free).
+            a_rows = win[dy + 1 : dy + 1 + 2 * th_o].reshape(
+                th_o, 2, win.shape[1], lw
+            )[:, 0]
+            for dx in range(3):
+                a = a_rows[:, dx : dx + 2 * wp_o].reshape(
+                    th_o, wp_o, 2, lw
+                )[:, :, 0]
+                acc += jnp.dot(
+                    a.reshape(m_o, lw),
+                    w_ref[dy, dx],
+                    preferred_element_type=jnp.float32,
+                )
+        acc += b_ref[0].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (m_o, 1), 0)
+        col = ridx % wp_o
+        row = ridx // wp_o
+        ok = (
+            (col >= 1)
+            & (col <= w_o)
+            & ((hi - 1) * th_o + row < h_o)
+            & interior
+        )
+        acc = jnp.where(ok, acc, 0.0)
+        o_ref[0, 0] = acc.reshape(th_o, wp_o, 128).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th_o, wp_o, 128), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cells_p, (n_tiles + 2) * th_o, wp_o, 128), pk.dtype
+        ),
+        interpret=interpret,
+    )(*[pk] * 9, wb, b_tiled)
