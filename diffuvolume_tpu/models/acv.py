@@ -280,6 +280,82 @@ def _fold_convbn_params(variables, name, eps=1e-5):
     return k * scale, beta - mean * scale
 
 
+def _fold_convbn_tree(p, bs, eps=1e-5):
+    """Fold a ConvBN {conv/kernel, bn/...} subtree → (kernel', bias')."""
+    k = p["conv"]["kernel"].astype(jnp.float32)
+    scale = p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        bs["bn"]["var"].astype(jnp.float32) + eps)
+    return k * scale, (p["bn"]["bias"].astype(jnp.float32)
+                       - bs["bn"]["mean"].astype(jnp.float32) * scale)
+
+
+def _fold_deconv_tree(p, bs, eps=1e-5):
+    """Fold ConvTransposeBN {kernel, bn/...} → (kernel', bias')."""
+    k = p["kernel"].astype(jnp.float32)
+    scale = p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        bs["bn"]["var"].astype(jnp.float32) + eps)
+    return k * scale, (p["bn"]["bias"].astype(jnp.float32)
+                       - bs["bn"]["mean"].astype(jnp.float32) * scale)
+
+
+def _hourglass_packed(model, variables, name, pk_in, d, h4, w4, th,
+                      interpret=False):
+    """HourglassACV fully in the packed-padded geometry (BN folded, eval).
+
+    conv1(s2) → conv2 → conv3(s2) → conv4 → [unpack → attention → pack] →
+    conv5 = deconv+redir2+relu (fused) → conv6 = deconv+redir1+relu.
+    Cells are preserved at every scale; tile heights are th → th/2 → th/4.
+    """
+    from diffuvolume_tpu.models.layers import AttentionBlock3D
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        conv1x1_fold_p, conv3d_fold_p, conv3d_fold_s2, conv3d_fold_up,
+        pack_padded_k, unpack_padded_k,
+    )
+
+    dt = model.dtype
+    p = variables["params"][name]
+    bs = variables["batch_stats"][name]
+    h8, w8, h16, w16 = h4 // 2, w4 // 2, h4 // 4, w4 // 4
+    th2, th4 = th // 2, th // 4
+    assert th4 >= 1, th
+
+    k1, b1 = _fold_convbn_tree(p["conv1"], bs["conv1"])
+    c1 = conv3d_fold_s2(pk_in, k1.astype(dt), b1, relu=True,
+                        w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
+    k2, b2 = _fold_convbn_tree(p["conv2"], bs["conv2"])
+    c2 = conv3d_fold_p(c1, k2.astype(dt), b2, relu=True,
+                       w_real=w8, h_real=h8, tile_h=th2, interpret=interpret)
+    k3, b3 = _fold_convbn_tree(p["conv3"], bs["conv3"])
+    c3 = conv3d_fold_s2(c2, k3.astype(dt), b3, relu=True,
+                        w_real=w8, h_real=h8, tile_h=th2, interpret=interpret)
+    k4, b4 = _fold_convbn_tree(p["conv4"], bs["conv4"])
+    c4 = conv3d_fold_p(c3, k4.astype(dt), b4, relu=True,
+                       w_real=w16, h_real=h16, tile_h=th4, interpret=interpret)
+
+    attn = AttentionBlock3D(num_heads=16, block=(4, 4, 4), dtype=dt)
+    x4 = unpack_padded_k(c4, d // 4, h16, w16, 128, tile_h=th4,
+                         interpret=interpret)
+    x4 = attn.apply({"params": variables["params"][name]["attention_block"]},
+                    x4.astype(dt))
+    c4 = pack_padded_k(x4, tile_h=th4, interpret=interpret)
+
+    kr2, br2 = _fold_convbn_tree(p["redir2"], bs["redir2"])
+    r2 = conv1x1_fold_p(c2, kr2.astype(dt), br2, w_real=w8, h_real=h8,
+                        tile_h=th2, interpret=interpret)
+    k5, b5 = _fold_deconv_tree(p["conv5"], bs["conv5"])
+    c5 = conv3d_fold_up(c4, k5.astype(dt), b5, relu=True, residual=r2,
+                        w_real=w16, h_real=h16, tile_h=th4,
+                        interpret=interpret)
+
+    kr1, br1 = _fold_convbn_tree(p["redir1"], bs["redir1"])
+    r1 = conv1x1_fold_p(pk_in, kr1.astype(dt), br1, w_real=w4, h_real=h4,
+                        tile_h=th, interpret=interpret)
+    k6, b6 = _fold_deconv_tree(p["conv6"], bs["conv6"])
+    return conv3d_fold_up(c5, k6.astype(dt), b6, relu=True, residual=r1,
+                          w_real=w8, h_real=h8, tile_h=th2,
+                          interpret=interpret)
+
+
 def acv_denoise_fast(
     model: ACVNet,
     variables,
@@ -332,20 +408,26 @@ def acv_denoise_fast(
     pk_c0 = conv3d_fold_p(pk_z, k11.astype(dt), b11, relu=False,
                           residual=pk_y, w_real=w4, h_real=h4, tile_h=th,
                           interpret=interpret)
-    cost0 = unpack(pk_c0, d, h4, w4, 32, th).astype(dt)
-
-    out1 = model.apply(variables, cost0, False,
-                       method=lambda m, x, tr: m.dres2(x, tr))
-    out2 = model.apply(variables, out1, False,
-                       method=lambda m, x, tr: m.dres3(x, tr))
+    # Hourglasses fully packed (no XLA conv remains in the step).  The
+    # entry chain runs at th=4 (the x2 kernel's VMEM bound); the hourglass
+    # needs th=8 so its quarter-res tiles stay ≥2 rows — retile via the
+    # Pallas unpack/pack pair (no XLA op in between, nothing to poison).
+    th_hg = 8 if h4 % 8 == 0 else th
+    if th_hg != th:
+        pk_c0 = pack(unpack(pk_c0, d, h4, w4, 32, th), th_hg)
+    pk_o1 = _hourglass_packed(model, variables, "dres2", pk_c0, d, h4, w4,
+                              th_hg, interpret)
+    pk_o2 = _hourglass_packed(model, variables, "dres3", pk_o1, d, h4, w4,
+                              th_hg, interpret)
 
     kc0, bc0 = _fold_convbn_params(variables, "classif2_0")
-    pk_h = conv3d_fold_p(pack(out2, th), kc0.astype(dt), bc0, relu=True,
-                         w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
+    pk_h = conv3d_fold_p(pk_o2, kc0.astype(dt), bc0, relu=True,
+                         w_real=w4, h_real=h4, tile_h=th_hg,
+                         interpret=interpret)
     k_head = variables["params"]["classif2_1"]["kernel"]
     pk_c = conv3d_fold_p(pk_h, k_head.astype(dt), w_real=w4, h_real=h4,
-                         tile_h=th, interpret=interpret)
-    cost = unpack(pk_c, d, h4, w4, 1, th)[..., 0]
+                         tile_h=th_hg, interpret=interpret)
+    cost = unpack(pk_c, d, h4, w4, 1, th_hg)[..., 0]
 
     disp, unc = fused_upsample_softargmin(
         cost.astype(jnp.float32), model.max_disp, out_hw,

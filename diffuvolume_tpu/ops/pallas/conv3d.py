@@ -965,3 +965,260 @@ def conv3d_fold_s2(
         ),
         interpret=interpret,
     )(*[pk] * 9, wb, b_tiled)
+
+
+def _banded_weights_up(k3: jax.Array, p_in: int) -> jax.Array:
+    """Stride-2 DECONV banded weights: (3,3,3,C,C/2) → (3,3,(p_in+2)·C, 128).
+
+    ``k3`` is the pre-flipped ConvTranspose kernel (conv orientation, as
+    stored by ConvTransposeBN).  With ``co = c/2`` (p_out = 2·p_in, cells
+    preserved, d_out = 2·d_in): ``j = (d_out + dz - 1)/2`` when integer ⇒
+    input phase ``φi = (φo + dz - 1)/2`` for ``(φo + dz)`` odd.
+    """
+    c, co = k3.shape[3], k3.shape[4]
+    p_out = 2 * p_in
+    assert co * 2 == c and c * p_in == 128, (c, co, p_in)
+    out = jnp.zeros((3, 3, (p_in + 2) * c, 128), k3.dtype)
+    for phi_o in range(p_out):
+        for dz in range(3):
+            if (phi_o + dz - 1) % 2:
+                continue
+            phi_i = (phi_o + dz - 1) // 2
+            out = out.at[
+                :, :, (phi_i + 1) * c : (phi_i + 2) * c,
+                phi_o * co : (phi_o + 1) * co,
+            ].add(k3[dz])
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret")
+)
+def conv3d_fold_up(
+    pk: jax.Array,
+    k3: jax.Array,
+    bias: jax.Array | None = None,
+    relu: bool = False,
+    residual: jax.Array | None = None,
+    *,
+    w_real: int,
+    h_real: int,
+    tile_h: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """ConvTranspose3d ``(k=3, s=2, p=1, op=1)``, packed-padded in → packed-
+    padded out at DOUBLE resolution (``c_out = c/2``, cells preserved).
+
+    Each (row, col) output parity pair selects ≤2 taps per spatial dim whose
+    input indices are DENSE (no strided access at all); the four parity
+    sub-tiles are interleaved with free non-lane reshapes.  The optional
+    ``residual`` (e.g. the redir 1×1 branch) is added before ReLU —
+    reproducing the hourglass ``relu(deconv(x) + redir(skip))`` fusion.
+
+    ``w_real``/``h_real`` are the INPUT real sizes (output = doubles);
+    ``tile_h`` is the INPUT tile height (output tiles are 2·tile_h).
+    """
+    b, cells_p, rows_p, wp_in, _ = pk.shape
+    th_i = tile_h
+    th_o = 2 * th_i
+    cells = cells_p - 2
+    n_tiles = rows_p // th_i - 2
+    c, co = k3.shape[3], k3.shape[4]
+    p_in = 128 // c
+    assert co * 2 == c, (c, co)
+    h_o, w_o = 2 * h_real, 2 * w_real
+    wp_o = -(-(w_o + 2) // 8) * 8
+    lw = (p_in + 2) * c
+    u_n, v_n = th_i, wp_o // 2
+    # col views reach v + 1 ≤ wp_o/2 + 1 window columns
+    wpad = max(0, v_n + 2 - wp_in)
+
+    wb = _banded_weights_up(k3, p_in).astype(pk.dtype)
+    if bias is None:
+        bias = jnp.zeros((co,), jnp.float32)
+    b_tiled = jnp.tile(bias.astype(jnp.float32), (128 // co,))[None]
+
+    grid = (b, cells_p, n_tiles + 2)
+
+    def cell_spec(dc, dh):
+        return pl.BlockSpec(
+            (1, 1, th_i, wp_in, 128),
+            functools.partial(
+                lambda bi, di, hi, dc, dh: (
+                    bi,
+                    jnp.clip(di + dc - 1, 0, cells_p - 1),
+                    jnp.clip(hi + dh - 1, 0, n_tiles + 1),
+                    0,
+                    0,
+                ),
+                dc=dc,
+                dh=dh,
+            ),
+        )
+
+    in_specs = [cell_spec(dc, dh) for dc in range(3) for dh in range(3)]
+    in_specs.append(pl.BlockSpec((3, 3, lw, 128), lambda bi, di, hi: (0,) * 4))
+    in_specs.append(pl.BlockSpec((1, 128), lambda bi, di, hi: (0, 0)))
+    inputs = [*[pk] * 9, wb, b_tiled]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, th_o, wp_o, 128),
+                         lambda bi, di, hi: (bi, di, hi, 0, 0))
+        )
+        inputs.append(residual)
+
+    # (parity → valid taps with their dense window offsets)
+    # rows: w_r = u + (p_r + dy - 1)//2 + 1 for (p_r + dy) odd
+    # cols: w_c = v + (p_x + dx)//2 for (p_x + dx) even  [after +? see below]
+    row_taps = {0: [(1, 1)], 1: [(0, 1), (2, 2)]}   # p_r → [(dy, row_off)]
+    col_taps = {0: [(0, 0), (2, 1)], 1: [(1, 1)]}   # p_x → [(dx, col_off)]
+
+    def body(*args):
+        if residual is not None:
+            *xs, w_ref, b_ref, r_ref, o_ref = args
+        else:
+            *xs, w_ref, b_ref, o_ref = args
+            r_ref = None
+        di = pl.program_id(1)
+        hi = pl.program_id(2)
+        interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
+
+        def rows(prev, cur, nxt):
+            # th_i + 2 rows: in_pad rows [t·th_i − 1, (t+1)·th_i].
+            return jnp.concatenate(
+                [prev[0, 0, th_i - 1 :], cur[0, 0], nxt[0, 0, 0:1]], axis=0
+            )
+
+        wm1 = rows(xs[0], xs[1], xs[2])[..., 128 - c :]
+        w0 = rows(xs[3], xs[4], xs[5])
+        wp1 = rows(xs[6], xs[7], xs[8])[..., :c]
+        win = jnp.concatenate([wm1, w0, wp1], axis=-1)  # (th_i+2, wp_in, lw)
+        if wpad:
+            win = jnp.concatenate(
+                [win, jnp.zeros((th_i + 2, wpad, lw), win.dtype)], axis=1
+            )
+
+        subs = []
+        for p_r in (0, 1):
+            row_subs = []
+            for p_x in (0, 1):
+                acc = jnp.zeros((u_n * v_n, 128), jnp.float32)
+                for dy, roff in row_taps[p_r]:
+                    for dx, coff in col_taps[p_x]:
+                        a = win[roff : roff + u_n, coff : coff + v_n]
+                        acc += jnp.dot(
+                            a.reshape(u_n * v_n, lw),
+                            w_ref[dy, dx],
+                            preferred_element_type=jnp.float32,
+                        )
+                row_subs.append(acc.reshape(u_n, v_n, 1, 128))
+            # interleave cols: (u, v, 2, 128) → (u, wp_o, 128)
+            subs.append(
+                jnp.concatenate(row_subs, axis=2).reshape(u_n, 1, wp_o, 128)
+            )
+        # interleave rows: (u, 2, wp_o, 128) → (th_o, wp_o, 128)
+        out = jnp.concatenate(subs, axis=1).reshape(th_o, wp_o, 128)
+        out = out + b_ref[0].astype(jnp.float32)
+        if r_ref is not None:
+            out = out + r_ref[0, 0].astype(jnp.float32)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        m_o = th_o * wp_o
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (m_o, 1), 0)
+        col = ridx % wp_o
+        row = ridx // wp_o
+        ok = (
+            (col >= 1)
+            & (col <= w_o)
+            & ((hi - 1) * th_o + row < h_o)
+            & interior
+        )
+        out = jnp.where(ok, out.reshape(m_o, 128), 0.0).reshape(
+            th_o, wp_o, 128
+        )
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th_o, wp_o, 128), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cells_p, (n_tiles + 2) * th_o, wp_o, 128), pk.dtype
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret")
+)
+def conv1x1_fold_p(
+    pk: jax.Array,
+    k1: jax.Array,
+    bias: jax.Array | None = None,
+    relu: bool = False,
+    *,
+    w_real: int,
+    h_real: int,
+    tile_h: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """1×1×1 conv in the packed-padded geometry (same channel count).
+
+    One block-diagonal (128, 128) lane matmul per tile — the hourglass
+    redir branches (ConvBN(c, 1, 1, 0)), BN folded by the caller.
+    """
+    b, cells_p, rows_p, wp, _ = pk.shape
+    th = tile_h
+    cells = cells_p - 2
+    n_tiles = rows_p // th - 2
+    c, co = k1.shape[-2], k1.shape[-1]
+    assert c == co and 128 % c == 0, (c, co)
+    p = 128 // c
+    wdiag = jnp.zeros((128, 128), k1.dtype)
+    k1 = k1.reshape(c, co)
+    for phi in range(p):
+        wdiag = wdiag.at[phi * c : (phi + 1) * c, phi * c : (phi + 1) * c].set(k1)
+    if bias is None:
+        bias = jnp.zeros((co,), jnp.float32)
+    b_tiled = jnp.tile(bias.astype(jnp.float32), (p,))[None]
+
+    grid = (b, cells_p, n_tiles + 2)
+
+    def body(x_ref, w_ref, b_ref, o_ref):
+        di = pl.program_id(1)
+        hi = pl.program_id(2)
+        interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
+        m = th * wp
+        acc = jnp.dot(
+            x_ref[0, 0].reshape(m, 128), w_ref[...],
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        col = ridx % wp
+        row = ridx // wp
+        ok = ((col >= 1) & (col <= w_real)
+              & ((hi - 1) * th + row < h_real) & interior)
+        o_ref[0, 0] = jnp.where(ok, acc, 0.0).reshape(th, wp, 128).astype(
+            o_ref.dtype)
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, th, wp, 128),
+                         lambda bi, di, hi: (bi, di, hi, 0, 0)),
+            pl.BlockSpec((128, 128), lambda bi, di, hi: (0, 0)),
+            pl.BlockSpec((1, 128), lambda bi, di, hi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, th, wp, 128), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(pk.shape, pk.dtype),
+        interpret=interpret,
+    )(pk, wdiag, b_tiled)
