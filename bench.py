@@ -55,15 +55,18 @@ def main():
         )
         return final
 
-    # Warmup / compile.
+    # Warmup / compile.  Host-fetched scalar (not block_until_ready): on
+    # relay-backed arrays block_until_ready can return BEFORE execution
+    # completes — only a host fetch proves the work is done (CLAUDE.md
+    # "RELAY GOTCHA"; same fix as tools/bench_conv3d_pallas.py).
     out = run(rng)
-    jax.block_until_ready(out)
+    float(jnp.sum(out.astype(jnp.float32)))
 
     n = 5
     t0 = time.perf_counter()
     for i in range(n):
         out = run(jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+    float(jnp.sum(out.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / n
 
     pairs_per_s = 1.0 / dt

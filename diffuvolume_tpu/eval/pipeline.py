@@ -25,8 +25,22 @@ from diffuvolume_tpu.models.acv import ACVNet
 from diffuvolume_tpu.ops.regression import resize_bilinear
 
 
+def _acv_packed_flag() -> bool:
+    """Packed all-Pallas ACV denoise path (acv_denoise_fast).
+
+    Read ONCE per inference call and passed into the stage cache as part of
+    its key (flipping ``DIFFU_ACV_PACKED`` between calls takes effect — same
+    pattern as ``DIFFU_CORR_MODE``; a trace-time read inside the cached
+    stage would silently pin the first value seen).
+    """
+    import os
+
+    return os.environ.get("DIFFU_ACV_PACKED", "0") == "1"
+
+
 @functools.cache
-def _stages(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig):
+def _stages(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig,
+            packed: bool = False):
     sched = make_schedule(1000)
 
     @jax.jit
@@ -50,21 +64,22 @@ def _stages(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig):
 
     @jax.jit
     def sample(ddim_vars, ac_volume, baseline_disp, baseline_latent, rng):
-        import os
-
         from diffuvolume_tpu.models.acv import acv_denoise_fast
         from diffuvolume_tpu.utils.platform import is_tpu_lowering
 
         h, w = baseline_disp.shape[1], baseline_disp.shape[2]
-        # TPU eval A/B: packed-persistent aggregation chains (acv_denoise_
-        # fast — numerically equal, parity-tested).  Default OFF: end-to-end
-        # the XLA pack transposes poison the neighboring dres0_0 conv's
-        # strategy (2.5 -> 39.5 ms/step measured; bench 2.60 -> 1.69) — the
-        # boundary pack/unpack must become Pallas kernels before this wins.
+        h4, w4 = h // 4, w // 4
+        # TPU eval A/B: all-Pallas packed aggregation (acv_denoise_fast —
+        # numerically equal, parity-tested).  Shape guard: the packed
+        # geometry needs the hourglass retile (h4 % 8) and the deconv
+        # residual geometry (w4 % 4); unusual crops fall back to the module
+        # path rather than die on an opaque Pallas spec mismatch.
         fast = (
-            is_tpu_lowering()
+            packed
+            and is_tpu_lowering()
             and "batch_stats" in ddim_vars
-            and os.environ.get("DIFFU_ACV_PACKED", "0") == "1"
+            and h4 % 8 == 0
+            and w4 % 4 == 0
         )
 
         def denoise_fn(latent, t):
@@ -106,7 +121,7 @@ def acv_ddim_inference(
     Returns:
       ``(final_disp (B,H,W), baseline_disp (B,H,W))``.
     """
-    prep, sample = _stages(baseline_model, ddim_model, cfg)
+    prep, sample = _stages(baseline_model, ddim_model, cfg, _acv_packed_flag())
     baseline_disp, baseline_latent, ac_volume = prep(
         baseline_vars, ddim_vars, left, right
     )

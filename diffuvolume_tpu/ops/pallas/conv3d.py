@@ -916,11 +916,12 @@ def conv3d_fold_s2(
         win = jnp.concatenate([wm1, w0, wp1], axis=-1)  # (th+3, wp, lw)
         # In_pad col for out_pad col x is 2x + dx - 2: prepend two zero
         # columns so the parity views start at non-negative offsets; append
-        # enough for the 2·wp_o reach.
-        win = jnp.concatenate(
-            [jnp.zeros((th + 3, 2, lw), win.dtype), win,
-             jnp.zeros((th + 3, wpad, lw), win.dtype)], axis=1
-        )
+        # enough for the 2·wp_o reach.  wpad can be 0 (half-res shapes) —
+        # Mosaic rejects zero-size vectors, so only concat it when nonzero.
+        parts = [jnp.zeros((th + 3, 2, lw), win.dtype), win]
+        if wpad:
+            parts.append(jnp.zeros((th + 3, wpad, lw), win.dtype))
+        win = jnp.concatenate(parts, axis=1)
         m_o = th_o * wp_o
         acc = jnp.zeros((m_o, 128), jnp.float32)
         for dy in range(3):

@@ -51,15 +51,18 @@ def main(argv=None):
         )
         return final
 
+    # Host-fetched scalar, NOT block_until_ready: on relay-backed arrays
+    # block_until_ready can return before execution completes (CLAUDE.md
+    # "RELAY GOTCHA").
     t0 = time.perf_counter()
     out = run(rng)
-    jax.block_until_ready(out)
+    float(jnp.sum(out.astype(jnp.float32)))
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(args.reps):
         out = run(jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+    float(jnp.sum(out.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / args.reps
     pairs = 1.0 / dt
     print(

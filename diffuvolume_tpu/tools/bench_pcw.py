@@ -50,9 +50,12 @@ def main(argv=None):
     left = jax.random.normal(rng, (1, h, w, 3))
     right = jax.random.normal(jax.random.fold_in(rng, 1), (1, h, w, 3))
 
+    # Host-fetched scalar, NOT block_until_ready: on relay-backed arrays
+    # block_until_ready can return before execution completes (CLAUDE.md
+    # "RELAY GOTCHA").
     t0 = time.perf_counter()
     final, _ = pcw_ddim_inference(bm, dm, bv, dv, left, right, rng)
-    jax.block_until_ready(final)
+    float(jnp.sum(final.astype(jnp.float32)))
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -60,7 +63,7 @@ def main(argv=None):
         final, _ = pcw_ddim_inference(
             bm, dm, bv, dv, left, right, jax.random.fold_in(rng, i)
         )
-    jax.block_until_ready(final)
+    float(jnp.sum(final.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / args.reps
     pairs = 1.0 / dt
     print(

@@ -67,28 +67,29 @@ def main(argv=None):
     if use_fast:
         from diffuvolume_tpu.models.acv import acv_denoise_fast
 
-    def _denoise(latent, t):
+    def _denoise(vol, latent, t):
+        # NOTE: takes the volume as an explicit operand — a closure capture
+        # would shadow the jitted arg and silently pin the FIRST value as a
+        # constant (the vary-the-input relay-cache defeat would be a no-op).
         if use_fast:
-            return acv_denoise_fast(model, variables, ac_volume, latent, t,
-                                    (h, w))
+            return acv_denoise_fast(model, variables, vol, latent, t, (h, w))
         return model.apply(
-            variables, ac_volume, latent, t, (h, w), method=ACVNet.denoise
+            variables, vol, latent, t, (h, w), method=ACVNet.denoise
         )
 
     if args.denoise_only:
         @jax.jit
-        def run(ac_volume, latent, t):
-            return model.apply(
-                variables, ac_volume, latent, t, (h, w), method=ACVNet.denoise
-            )
+        def run(vol, latent, t):
+            # honors DIFFU_ACV_PACKED here too (not only in the scan path)
+            return _denoise(vol, latent, t)
 
         fn_args = lambda: (ac_volume, baseline_latent, jnp.zeros((b,), jnp.int32))
         denom = 1
     else:
         @jax.jit
-        def run(ac_volume, baseline_disp, baseline_latent, key):
+        def run(vol, baseline_disp, baseline_latent, key):
             def denoise_fn(latent, t):
-                return _denoise(latent, t)
+                return _denoise(vol, latent, t)
 
             final, _ = ddim_sample(
                 sched, cfg, denoise_fn, baseline_disp, baseline_latent, key

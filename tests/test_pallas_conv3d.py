@@ -149,6 +149,25 @@ def test_unfold_conv2d_matches_xla(k, s, p, ci, co, bias):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("ci,bias", [(1, False), (3, True), (4, True)])
+def test_s2d_conv2d_matches_xla(ci, bias):
+    """Space-to-depth entry conv (k=3 s=2 p=1) == XLA conv, C=1..4."""
+    from diffuvolume_tpu.ops.entry_conv import s2d_conv2d
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 20, 26, ci)).astype(np.float32))
+    kern = jnp.asarray(rng.standard_normal((3, 3, ci, 24)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((24,)).astype(np.float32)) if bias else None
+    want = jax.lax.conv_general_dilated(
+        x, kern, (2, 2), [(1, 1)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        want = want + b
+    got = s2d_conv2d(x, kern, bias=b)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_acv_denoise_fast_matches_module(tmp_path):
     """Packed-chain TPU fast path == ACVNet.denoise (interpret mode, CPU).
 
