@@ -374,16 +374,21 @@ def acv_denoise_fast(
 
     dt = model.dtype
     b, d, h4, w4, _ = ac_volume.shape
-    # th=4: the cross-packing 64→32 kernel's 12-ref + 512-lane window blows
-    # the VMEM budget at th=8 (relay compile crash); th=4 compiles and the
-    # whole path must share one tile geometry.
-    th = 4
+    # Entry-chain tile height.  th=4 was forced in r3 (the cross-packing
+    # 64→32 kernel's 12-ref + 512-lane window blew the then-16 MB scoped
+    # VMEM); with the r4 vmem_limit_bytes raise th=8 compiles, shares the
+    # hourglass geometry (no retile pair), and runs the entry fold_p chain
+    # at the wider tile.  DIFFU_ACV_TH overrides for A/B (trace-time read).
+    import os
+
+    th = int(os.environ.get("DIFFU_ACV_TH", "8"))
+    if h4 % th:
+        th = 4
 
     noise = model.apply(variables, latent, t,
                         method=lambda m, l, tt: m.time_embedding(l, tt))
     noise = jnp.clip(noise, -model.scale, model.scale)
     noise = (noise / model.scale + 1.0) / 2.0
-    vol = ac_volume * noise[..., None].astype(ac_volume.dtype)
 
     def pack(x, t):
         return pack_padded_k(x, t, interpret=interpret)
@@ -395,7 +400,10 @@ def acv_denoise_fast(
     # output feeds a custom-call picks a catastrophic strategy here
     # (6.9 → 39.5 ms/step measured), so the whole step stays packed.
     k00, b00 = _fold_convbn_params(variables, "dres0_0")
-    pk64 = pack(vol, th)
+    # Noise multiply fused into the pack (saves the 190 MB XLA broadcast-
+    # multiply round trip, ~1.15 ms/step measured r4).
+    pk64 = pack_padded_k(ac_volume, th, interpret=interpret,
+                         noise=noise.astype(ac_volume.dtype))
     pk = conv3d_fold_x2(pk64, k00.astype(dt), b00, relu=True,
                         w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
     k01, b01 = _fold_convbn_params(variables, "dres0_1")
@@ -410,8 +418,12 @@ def acv_denoise_fast(
                           interpret=interpret)
     # Hourglasses fully packed (no XLA conv remains in the step).  The
     # entry chain runs at th=4 (the x2 kernel's VMEM bound); the hourglass
-    # needs th=8 so its quarter-res tiles stay ≥2 rows — retile via the
-    # Pallas unpack/pack pair (no XLA op in between, nothing to poison).
+    # MUST run th=8: conv3d_fold_p's 2-row halos need tile_h ≥ 2 at quarter
+    # res (th=4 → th4=1 mis-slices the halo reads — r4 measured, not just
+    # theory).  Retile via the Pallas unpack/pack pair (no XLA op in
+    # between, nothing to poison).  conv3d_fold_s2 at th=8 sits 184 KB over
+    # the default 16 MB scoped-VMEM budget — the fold kernels raise it via
+    # CompilerParams(vmem_limit_bytes) instead (ops/pallas/conv3d.py).
     th_hg = 8 if h4 % 8 == 0 else th
     if th_hg != th:
         pk_c0 = pack(unpack(pk_c0, d, h4, w4, 32, th), th_hg)

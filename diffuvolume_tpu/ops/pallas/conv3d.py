@@ -33,6 +33,23 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# The packed-family kernels at tile_h=8 sit right at Mosaic's default 16 MB
+# scoped-VMEM budget (conv3d_fold_s2 measured 16.18 M — the bench compiled,
+# the byte-identical trace program OOMed; compile-to-compile marginal).
+# v5e has 128 MB of VMEM; raise the per-kernel budget well clear of the edge.
+#
+# dimension_semantics: every kernel in this file writes each output tile
+# exactly once from its own (b, cell, h-tile) program — no cross-iteration
+# carry — so all grid dims are "parallel".  Without the declaration Mosaic
+# schedules the grid as a strict sequence ("arbitrary"), which matches the
+# r3 in-loop observation of ~42 µs/grid-step wall vs ~5 µs compute+DMA
+# bounds (per-step serialization).
+_VMEM_LIMIT = pltpu.CompilerParams(
+    vmem_limit_bytes=40 * 1024 * 1024,
+    dimension_semantics=("parallel", "parallel", "parallel"),
+)
 
 
 def _pack(x: jax.Array, p: int) -> jax.Array:
@@ -135,6 +152,7 @@ def conv3d_packed(
             (b, cells, n_tiles * th, wp, n_lanes), x.dtype
         ),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*[pk] * 9, wb, b_tiled)
 
     # Out (y, x) is the conv centered at padded (y+1, x+1): cols 0..w-1 are the
@@ -370,6 +388,7 @@ def conv3d_fold(
             (b, cells, n_tiles * th, wp, n_lanes), x.dtype
         ),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*[pk] * 9, wb, b_tiled)
 
     # Out (y, x) is the conv centered at padded (y+1, x+1): cols 0..w-1 are
@@ -573,6 +592,7 @@ def conv3d_fold_p(
         ),
         out_shape=jax.ShapeDtypeStruct(pk.shape, pk.dtype),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*inputs)
 
 
@@ -586,10 +606,16 @@ def conv3d_fold_p(
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
 def pack_padded_k(x: jax.Array, tile_h: int = 8,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False,
+                  noise: jax.Array | None = None) -> jax.Array:
     """Pallas-kernel version of pack_padded (same output, no XLA transpose).
 
     Requires ``H % tile_h == 0`` (true at the aggregation shapes).
+
+    ``noise``: optional ``(B, D, H, W)`` multiplier broadcast over C — packs
+    ``x * noise[..., None]`` without materializing the product in HBM (the
+    DDIM denoise entry multiply was a 1.15 ms/step XLA fusion over the 190 MB
+    volume; fused here it rides the pack's existing read).
     """
     b, d, h, w, c = x.shape
     p = 128 // c
@@ -616,14 +642,49 @@ def pack_padded_k(x: jax.Array, tile_h: int = 8,
             ),
         )
 
+    def noise_spec(phi):
+        return pl.BlockSpec(
+            (1, 1, th, w),
+            functools.partial(
+                lambda bi, di, hi, phi: (
+                    bi,
+                    jnp.clip((di - 1) * p + phi, 0, d - 1),
+                    jnp.clip(hi - 1, 0, n_tiles - 1),
+                    0,
+                ),
+                phi=phi,
+            ),
+        )
+
     in_specs = [phi_spec(phi) for phi in range(p)]
+    inputs: list = [x] * p
+    if noise is not None:
+        assert noise.shape == (b, d, h, w), (noise.shape, x.shape)
+        in_specs += [noise_spec(phi) for phi in range(p)]
+        inputs += [noise] * p
 
     def body(*args):
-        *xs, o_ref = args
+        if noise is not None:
+            xs, ns = args[:p], args[p:-1]
+            o_ref = args[-1]
+            # f32 multiply: Mosaic only supports non-no-op minor-dim inserts
+            # ([..., None]) for 32-bit types — cast up, multiply, cast back.
+            lanes = jnp.concatenate(
+                [
+                    (
+                        r[0, 0].astype(jnp.float32)
+                        * n[0, 0].astype(jnp.float32)[..., None]
+                    ).astype(r.dtype)
+                    for r, n in zip(xs, ns)
+                ],
+                axis=-1,
+            )  # (th, w, 128)
+        else:
+            *xs, o_ref = args
+            lanes = jnp.concatenate([r[0, 0] for r in xs], axis=-1)
         di = pl.program_id(1)
         hi = pl.program_id(2)
         interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
-        lanes = jnp.concatenate([r[0, 0] for r in xs], axis=-1)  # (th, w, 128)
         tile = jnp.pad(lanes, ((0, 0), (1, wp - w - 1), (0, 0)))
         scale = jnp.where(interior, 1.0, 0.0).astype(tile.dtype)
         o_ref[0, 0] = tile * scale
@@ -639,7 +700,8 @@ def pack_padded_k(x: jax.Array, tile_h: int = 8,
             (b, cells + 2, (n_tiles + 2) * th, wp, 128), x.dtype
         ),
         interpret=interpret,
-    )(*[x] * p)
+        compiler_params=_VMEM_LIMIT,
+    )(*inputs)
 
 
 @functools.partial(
@@ -676,6 +738,7 @@ def unpack_padded_k(pk: jax.Array, d: int, h: int, w: int, co: int,
         ),
         out_shape=jax.ShapeDtypeStruct((b, d, h, w, co), pk.dtype),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(pk)
 
 
@@ -805,6 +868,7 @@ def conv3d_fold_x2(
             (b, cells12 + 2, rows_p, wp, 128), pk64.dtype
         ),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*[pk64] * 12, wb, b_tiled)
 
 
@@ -848,9 +912,11 @@ def conv3d_fold_s2(
 
     The missing piece of the all-Pallas aggregation tower: XLA's stride-2
     conv3ds join the strategy-poisoning whack-a-mole next to custom-calls
-    (CLAUDE.md r3).  NO strided slices are used — the stride-2 row/column
-    access patterns come from parity-select views (reshape-split of non-lane
-    dims), which Mosaic lowers for free.
+    (CLAUDE.md r3).  Column stride-2 access comes from merging column PAIRS
+    into the (128-aligned, padded) lane dim — taps are then contiguous
+    flat-row shifts + aligned lane slices; row stride-2 is an outer-dim slab
+    select.  No sublane-strided gathers (the r4 rewrite: the original
+    per-tap parity views ran 5× over budget).
 
     ``w_real``/``h_real`` are the INPUT real sizes (output = halves).
     ``tile_h`` is the INPUT tile height (output tiles are tile_h // 2).
@@ -868,9 +934,22 @@ def conv3d_fold_s2(
     wp_o = -(-(w_o + 2) // 8) * 8
     lw = (p_in + 2) * c
     # The parity-select column views read up to 2 + 2·wp_o + 2 window cols.
-    wpad = max(0, 2 * wp_o + 2 - (wp + 2))
+    # Round-4 restructure: the original per-tap parity views
+    # ``win[...].reshape(..., 2, lw)[:, :, 0]`` are SUBLANE-strided gathers —
+    # ~1.8 MB of strided copies per tile that ran the full-res call at
+    # 9.5 ms vs conv3d_fold_p's 1.8 (r4 device trace).  Instead: pad the
+    # banded width to a 128-multiple, merge each column PAIR into the lane
+    # dim (legal 128-aligned reshape, free), and every (dy, dx) tap becomes
+    # one contiguous flat-row shift + one 128-aligned lane slice — the same
+    # flat-shift discipline as conv3d_fold_p, with wrap contamination landing
+    # only in masked pad columns.
+    lw_pad = -(-lw // 128) * 128
+    w_t = 2 * wp_o  # target window width; window col j' = 2x + dx
+    m_o = th_o * wp_o
 
     wb = _banded_weights_s2(k3, p_in).astype(pk.dtype)
+    if lw_pad != lw:
+        wb = jnp.pad(wb, ((0, 0), (0, 0), (0, lw_pad - lw), (0, 0)))
     if bias is None:
         bias = jnp.zeros((co,), jnp.float32)
     b_tiled = jnp.tile(bias.astype(jnp.float32), (128 // co,))[None]
@@ -894,7 +973,9 @@ def conv3d_fold_s2(
         )
 
     in_specs = [cell_spec(dc, dh) for dc in range(3) for dh in range(3)]
-    in_specs.append(pl.BlockSpec((3, 3, lw, 128), lambda bi, di, hi: (0,) * 4))
+    in_specs.append(
+        pl.BlockSpec((3, 3, lw_pad, 128), lambda bi, di, hi: (0,) * 4)
+    )
     in_specs.append(pl.BlockSpec((1, 128), lambda bi, di, hi: (0, 0)))
 
     def body(*args):
@@ -914,30 +995,31 @@ def conv3d_fold_s2(
         w0 = rows(xs[3], xs[4], xs[5])
         wp1 = rows(xs[6], xs[7], xs[8])[..., :c]
         win = jnp.concatenate([wm1, w0, wp1], axis=-1)  # (th+3, wp, lw)
-        # In_pad col for out_pad col x is 2x + dx - 2: prepend two zero
-        # columns so the parity views start at non-negative offsets; append
-        # enough for the 2·wp_o reach.  wpad can be 0 (half-res shapes) —
-        # Mosaic rejects zero-size vectors, so only concat it when nonzero.
-        parts = [jnp.zeros((th + 3, 2, lw), win.dtype), win]
-        if wpad:
-            parts.append(jnp.zeros((th + 3, wpad, lw), win.dtype))
-        win = jnp.concatenate(parts, axis=1)
-        m_o = th_o * wp_o
+        # Window col j' = 2x + dx (2-col zero prepend absorbs the −2 origin);
+        # cols ≥ w_t and the one cropped-off tail serve only masked outputs
+        # (wp_o ≥ w_o + 2 ⇒ real taps end at 2·w_o + 2 < w_t).
+        w_keep = min(wp, w_t - 2)
+        win = win[:, :w_keep]
+        win = jnp.pad(
+            win, ((0, 0), (2, w_t - 2 - w_keep), (0, lw_pad - lw))
+        )  # (th+3, w_t, lw_pad)
+        # Merge column pairs into lanes: pair q = cols (2q | 2q+1).
+        wv = win.reshape(th + 3, wp_o, 2 * lw_pad)
         acc = jnp.zeros((m_o, 128), jnp.float32)
         for dy in range(3):
-            # In_pad row for out_pad row r is 2r + dy - 1 → window row
-            # 2·r_loc + dy + 1: split-parity view (free).
-            a_rows = win[dy + 1 : dy + 1 + 2 * th_o].reshape(
-                th_o, 2, win.shape[1], lw
+            # Out row r reads window row 2r + dy + 1: outer-dim slab select
+            # (no sublane strides), then one full contiguous flatten.
+            sel = wv[dy + 1 : dy + 1 + 2 * th_o].reshape(
+                th_o, 2, wp_o, 2 * lw_pad
             )[:, 0]
+            flat = jnp.pad(sel.reshape(m_o, 2 * lw_pad), ((0, 1), (0, 0)))
             for dx in range(3):
-                a = a_rows[:, dx : dx + 2 * wp_o].reshape(
-                    th_o, wp_o, 2, lw
-                )[:, :, 0]
+                pc, cs = dx % 2, dx // 2
+                a = jax.lax.slice(
+                    flat, (cs, pc * lw_pad), (cs + m_o, (pc + 1) * lw_pad)
+                )
                 acc += jnp.dot(
-                    a.reshape(m_o, lw),
-                    w_ref[dy, dx],
-                    preferred_element_type=jnp.float32,
+                    a, w_ref[dy, dx], preferred_element_type=jnp.float32
                 )
         acc += b_ref[0].astype(jnp.float32)
         if relu:
@@ -965,6 +1047,7 @@ def conv3d_fold_s2(
             (b, cells_p, (n_tiles + 2) * th_o, wp_o, 128), pk.dtype
         ),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*[pk] * 9, wb, b_tiled)
 
 
@@ -1031,8 +1114,9 @@ def conv3d_fold_up(
     wp_o = -(-(w_o + 2) // 8) * 8
     lw = (p_in + 2) * c
     u_n, v_n = th_i, wp_o // 2
-    # col views reach v + 1 ≤ wp_o/2 + 1 window columns
-    wpad = max(0, v_n + 2 - wp_in)
+    # Flat-shift wrap (coff=1 at v = v_n−1) contaminates out cols wp_o−2,
+    # wp_o−1 — they must be masked padding, true whenever w_o ≢ 6 (mod 8).
+    assert wp_o >= w_o + 3, (wp_o, w_o)
 
     wb = _banded_weights_up(k3, p_in).astype(pk.dtype)
     if bias is None:
@@ -1094,10 +1178,18 @@ def conv3d_fold_up(
         w0 = rows(xs[3], xs[4], xs[5])
         wp1 = rows(xs[6], xs[7], xs[8])[..., :c]
         win = jnp.concatenate([wm1, w0, wp1], axis=-1)  # (th_i+2, wp_in, lw)
-        if wpad:
-            win = jnp.concatenate(
-                [win, jnp.zeros((th_i + 2, wpad, lw), win.dtype)], axis=1
-            )
+        # r4 flat-shift rewrite: window width EXACTLY v_n, so (u, v) merges
+        # to one contiguous flatten and every tap is a flat-row shift — no
+        # per-tap non-contiguous copies.  The coff=1 wrap contaminates only
+        # out cols ≥ wp_o-2, masked because wp_o ≥ w_o+3 (w_o ≡ 0 mod 8
+        # everywhere in this pipeline — asserted at function scope).
+        if wp_in >= v_n:
+            win = win[:, :v_n]
+        else:
+            win = jnp.pad(win, ((0, 0), (0, v_n - wp_in), (0, 0)))
+        flat = jnp.pad(
+            win.reshape((th_i + 2) * v_n, lw), ((0, 1), (0, 0))
+        )
 
         subs = []
         for p_r in (0, 1):
@@ -1106,18 +1198,21 @@ def conv3d_fold_up(
                 acc = jnp.zeros((u_n * v_n, 128), jnp.float32)
                 for dy, roff in row_taps[p_r]:
                     for dx, coff in col_taps[p_x]:
-                        a = win[roff : roff + u_n, coff : coff + v_n]
+                        sh = roff * v_n + coff
                         acc += jnp.dot(
-                            a.reshape(u_n * v_n, lw),
+                            jax.lax.slice(
+                                flat, (sh, 0), (sh + u_n * v_n, lw)
+                            ),
                             w_ref[dy, dx],
                             preferred_element_type=jnp.float32,
                         )
-                row_subs.append(acc.reshape(u_n, v_n, 1, 128))
-            # interleave cols: (u, v, 2, 128) → (u, wp_o, 128)
-            subs.append(
-                jnp.concatenate(row_subs, axis=2).reshape(u_n, 1, wp_o, 128)
-            )
-        # interleave rows: (u, 2, wp_o, 128) → (th_o, wp_o, 128)
+                row_subs.append(acc.reshape(u_n, v_n, 128))
+            # interleave cols via lanes: (u,v,128)+(u,v,128) → (u,v,256) →
+            # 128-aligned lane→sublane split → (u, wp_o, 128).
+            pair = jnp.concatenate(row_subs, axis=-1)
+            subs.append(pair.reshape(u_n, 1, wp_o, 128))
+        # interleave rows: outer-dim merge (free): (u, 2, wp_o, 128) →
+        # (th_o, wp_o, 128); out row = 2u + p_r.
         out = jnp.concatenate(subs, axis=1).reshape(th_o, wp_o, 128)
         out = out + b_ref[0].astype(jnp.float32)
         if r_ref is not None:
@@ -1150,6 +1245,7 @@ def conv3d_fold_up(
             (b, cells_p, (n_tiles + 2) * th_o, wp_o, 128), pk.dtype
         ),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*inputs)
 
 
@@ -1222,4 +1318,5 @@ def conv1x1_fold_p(
         ),
         out_shape=jax.ShapeDtypeStruct(pk.shape, pk.dtype),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(pk, wdiag, b_tiled)

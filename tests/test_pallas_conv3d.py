@@ -95,6 +95,36 @@ def test_conv3d_fold_matches_xla(c, co, d, h, w):  # noqa: F811
     np.testing.assert_allclose(got_r, np.maximum(want, 0.0), rtol=1e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("c,d,h,w,th", [(32, 16, 8, 20, 4), (32, 16, 16, 12, 8),
+                                        (64, 16, 8, 20, 4)])
+def test_conv3d_fold_s2_matches_xla(c, d, h, w, th):
+    """Packed stride-2 kernel (pack → fold_s2 → unpack) == XLA strided conv.
+
+    Covers both channel configs the ACV hourglass uses (32→64, 64→128) and
+    both window regimes (right-pad at wide W, crop at narrow W — the r4
+    lane-merge rewrite)."""
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        conv3d_fold_s2, pack_padded_k, unpack_padded_k,
+    )
+
+    rng = np.random.default_rng(41)
+    co = 2 * c
+    x = jnp.asarray(rng.standard_normal((1, d, h, w, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, c, co)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, k, (2, 2, 2), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    pk = pack_padded_k(x, tile_h=th, interpret=True)
+    out = conv3d_fold_s2(pk, k, b, relu=False, w_real=w, h_real=h,
+                         tile_h=th, interpret=True)
+    got = unpack_padded_k(out, d // 2, h // 2, w // 2, co, tile_h=th // 2,
+                          interpret=True)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("kk,op", [(4, 0), (3, 1)])
 def test_deconv3d_phases_matches_dilated(kk, op):
     """Phase-decomposed stride-2 ConvTranspose3d == lhs-dilated conv oracle
