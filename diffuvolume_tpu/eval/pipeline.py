@@ -28,6 +28,10 @@ from diffuvolume_tpu.ops.regression import resize_bilinear
 def _acv_packed_flag() -> bool:
     """Packed all-Pallas ACV denoise path (acv_denoise_fast).
 
+    DEFAULT ON since r4: 3.46 pairs/s vs 2.59 on the module path at the
+    512×960 bench (the fold_s2/fold_up flat-shift rewrites closed the r3
+    gap).  ``DIFFU_ACV_PACKED=0`` restores the module path.
+
     Read ONCE per inference call and passed into the stage cache as part of
     its key (flipping ``DIFFU_ACV_PACKED`` between calls takes effect — same
     pattern as ``DIFFU_CORR_MODE``; a trace-time read inside the cached
@@ -35,7 +39,7 @@ def _acv_packed_flag() -> bool:
     """
     import os
 
-    return os.environ.get("DIFFU_ACV_PACKED", "0") == "1"
+    return os.environ.get("DIFFU_ACV_PACKED", "1") == "1"
 
 
 @functools.cache
