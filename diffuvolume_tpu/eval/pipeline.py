@@ -219,7 +219,12 @@ def _eval_corr_mode() -> str:
 
 @functools.cache
 def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int,
-                 quirk: bool = False, corr_mode: str = "band"):
+                 quirk: bool = False, corr_mode: str = "band",
+                 packed: bool = False):
+    # `packed` is a pure cache key: IGEVStereo.encode reads the
+    # DIFFU_IGEV_PACKED env at trace time; keying here guarantees a flip
+    # between calls retraces instead of serving the stale cached program.
+    del packed
     from diffuvolume_tpu.models.igev.model import IGEVStereo, igev_forward
 
     sched = make_schedule(1000)
@@ -335,16 +340,21 @@ def igev_ddim_inference(
     from diffuvolume_tpu.diffusion.ddim import KITTI15_DDIM
 
     cfg = KITTI15_DDIM if cfg is None else cfg
+    from diffuvolume_tpu.models.igev.model import _igev_packed_flag
+
     baseline_pass, sample = _igev_stages(
-        baseline_model, ddim_model, cfg, iters, quirk, _eval_corr_mode()
+        baseline_model, ddim_model, cfg, iters, quirk, _eval_corr_mode(),
+        _igev_packed_flag(),
     )
     baseline_disp = baseline_pass(baseline_vars, left, right)
     final = sample(ddim_vars, left, right, baseline_disp, rng)
     return final, baseline_disp
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def _baseline_forward(model, variables, inputs, iters, corr_mode="band"):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _baseline_forward(model, variables, inputs, iters, corr_mode="band",
+                      packed=False):
+    del packed  # jit-cache key only (encode reads the env at trace time)
     left, right = inputs
     if iters is not None:  # IGEV path
         from diffuvolume_tpu.models.igev.model import igev_forward
@@ -371,5 +381,7 @@ def baseline_inference(model, variables, left, right, iters: int | None = None):
     Returns:
       ``(B, H, W)`` disparity.
     """
+    from diffuvolume_tpu.models.igev.model import _igev_packed_flag
+
     return _baseline_forward(model, variables, (left, right), iters,
-                             _eval_corr_mode())
+                             _eval_corr_mode(), _igev_packed_flag())

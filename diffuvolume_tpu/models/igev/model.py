@@ -48,6 +48,15 @@ from diffuvolume_tpu.ops.regression import disparity_regression
 from diffuvolume_tpu.ops.sampling import context_upsample
 
 
+def _igev_packed_flag() -> bool:
+    """Packed GEV-tower eval path (gev_packed.py).  Trace-time read; the
+    eval pipeline keys its stage cache on this value (DIFFU_CORR_MODE
+    pattern) so mid-process flips retrace correctly."""
+    import os
+
+    return os.environ.get("DIFFU_IGEV_PACKED", "0") == "1"
+
+
 class FeatureAtt(nn.Module):
     """Sigmoid feature-attention over a cost volume (submodule.py:226-239)."""
 
@@ -212,15 +221,53 @@ class IGEVStereo(nn.Module):
             match_l = self.desc(self.conv(feat_l[0]))
             match_r = self.desc(self.conv(feat_r[0]))
 
-        gwc = build_gwc_volume(match_l, match_r, self.max_disp // 4, 8)
-        gwc = self.corr_stem(gwc, train)
-        gwc = self.corr_feature_att(gwc, feat_l[0], train)
-        gev = self.cost_agg(gwc, feat_l, train)
-
-        prob = jax.nn.softmax(
-            conv3x3x3(gev, self.classifier(), train=train, dtype=self.dtype)[..., 0],
-            axis=1,
+        h4 = match_l.shape[1]
+        use_packed = (
+            not train
+            and self.max_disp == 192
+            and h4 % 16 == 0
+            and _igev_packed_flag()
         )
+        if use_packed:
+            # All-Pallas packed GEV tower (gwc → corr_stem → attended
+            # hourglass → classifier) — the ACV all-or-nothing lesson
+            # applied to the encode's cost-volume segment (gev_packed.py).
+            # Trace-time env read; eval/pipeline keys its stage cache on it.
+            from diffuvolume_tpu.models.igev.gev_packed import gev_tower_packed
+
+            vars_view = {
+                "params": {
+                    "corr_stem": self.corr_stem.variables["params"],
+                    "corr_feature_att":
+                        self.corr_feature_att.variables["params"],
+                    "cost_agg": self.cost_agg.variables["params"],
+                    "classifier": {"kernel": self.classifier()},
+                },
+                "batch_stats": {
+                    "corr_stem": self.corr_stem.variables["batch_stats"],
+                    "corr_feature_att":
+                        self.corr_feature_att.variables["batch_stats"],
+                    "cost_agg": self.cost_agg.variables["batch_stats"],
+                },
+            }
+            from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
+            gev, cost = gev_tower_packed(
+                self, vars_view, match_l, match_r, feat_l,
+                interpret=not is_tpu_lowering(),
+            )
+            prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
+        else:
+            gwc = build_gwc_volume(match_l, match_r, self.max_disp // 4, 8)
+            gwc = self.corr_stem(gwc, train)
+            gwc = self.corr_feature_att(gwc, feat_l[0], train)
+            gev = self.cost_agg(gwc, feat_l, train)
+
+            prob = jax.nn.softmax(
+                conv3x3x3(gev, self.classifier(), train=train,
+                          dtype=self.dtype)[..., 0],
+                axis=1,
+            )
         init_disp = disparity_regression(prob, self.max_disp // 4)
 
         cnet_list = self.cnet(left_n, train)

@@ -453,7 +453,8 @@ def unpack_padded(pk: jax.Array, d: int, h: int, w: int, co: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret"),
+    static_argnames=("relu", "leaky", "w_real", "h_real", "tile_h",
+                     "interpret"),
 )
 def conv3d_fold_p(
     pk: jax.Array,
@@ -466,12 +467,16 @@ def conv3d_fold_p(
     h_real: int,
     tile_h: int = 8,
     interpret: bool = False,
+    leaky: float | None = None,
+    post_mul: jax.Array | None = None,
 ) -> jax.Array:
     """3×3×3 stride-1 pad-1 conv, packed-padded in → packed-padded out.
 
-    Numerically equal to conv → (+bias) → (+residual) → (ReLU) on the
-    unpacked volume.  ``residual`` must share pk's geometry.  ``C_out ≤ C``
-    (smaller co is zero-padded in lanes).
+    Numerically equal to conv → (+bias) → (+residual) → (ReLU | LeakyReLU)
+    → (× post_mul) on the unpacked volume.  ``residual``/``post_mul`` must
+    share pk's OUTPUT tile geometry (post_mul: ``(B, rows_p, wp, 128)``, the
+    broadcast-over-D attention multiplier pre-tiled across phases — see
+    tile_packed_mul).  ``C_out ≤ C`` (smaller co is zero-padded in lanes).
     """
     b, cells_p, rows_p, wp, _ = pk.shape
     th = tile_h
@@ -525,8 +530,19 @@ def conv3d_fold_p(
             pl.BlockSpec((1, 1, th, wp, 128), lambda bi, di, hi: (bi, di, hi, 0, 0))
         )
         inputs.append(residual)
+    if post_mul is not None:
+        in_specs.append(
+            pl.BlockSpec((1, th, wp, 128), lambda bi, di, hi: (bi, hi, 0, 0))
+        )
+        inputs.append(post_mul)
 
     def body(*args):
+        # Argument order: 9 cell refs, weights, bias, [residual], [post_mul],
+        # then the OUTPUT ref last.
+        m_ref = None
+        if post_mul is not None:
+            *args, m_ref, o_ref = args
+            args = (*args, o_ref)
         if residual is not None:
             *xs, w_ref, b_ref, r_ref, o_ref = args
         else:
@@ -569,6 +585,10 @@ def conv3d_fold_p(
             acc += r_ref[0, 0].reshape(m, n_lanes).astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
+        elif leaky is not None:
+            acc = jnp.where(acc > 0.0, acc, leaky * acc)
+        if m_ref is not None:
+            acc = acc * m_ref[0].reshape(m, n_lanes).astype(jnp.float32)
         # Zero everything outside the real region: border blocks entirely,
         # cols outside [1, w], rows ≥ h within the last interior tile.
         ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
@@ -894,7 +914,8 @@ def _banded_weights_s2(k3: jax.Array, p_in: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret")
+    jax.jit, static_argnames=("relu", "leaky", "w_real", "h_real", "tile_h",
+                              "interpret")
 )
 def conv3d_fold_s2(
     pk: jax.Array,
@@ -906,6 +927,8 @@ def conv3d_fold_s2(
     h_real: int,
     tile_h: int = 4,
     interpret: bool = False,
+    leaky: float | None = None,
+    post_mul: jax.Array | None = None,
 ) -> jax.Array:
     """3×3×3 STRIDE-2 pad-1 conv, packed-padded in → packed-padded out at
     half resolution (``c_out = 2·c_in``, cells preserved).
@@ -977,8 +1000,19 @@ def conv3d_fold_s2(
         pl.BlockSpec((3, 3, lw_pad, 128), lambda bi, di, hi: (0,) * 4)
     )
     in_specs.append(pl.BlockSpec((1, 128), lambda bi, di, hi: (0, 0)))
+    extra_inputs = []
+    if post_mul is not None:
+        # Output-geometry attention multiplier (see tile_packed_mul).
+        in_specs.append(
+            pl.BlockSpec((1, th_o, wp_o, 128), lambda bi, di, hi: (bi, hi, 0, 0))
+        )
+        extra_inputs.append(post_mul)
 
     def body(*args):
+        m_ref = None
+        if post_mul is not None:
+            *args, m_ref, o_ref = args
+            args = (*args, o_ref)
         *xs, w_ref, b_ref, o_ref = args
         di = pl.program_id(1)
         hi = pl.program_id(2)
@@ -1024,6 +1058,10 @@ def conv3d_fold_s2(
         acc += b_ref[0].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
+        elif leaky is not None:
+            acc = jnp.where(acc > 0.0, acc, leaky * acc)
+        if m_ref is not None:
+            acc = acc * m_ref[0].reshape(m_o, 128).astype(jnp.float32)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (m_o, 1), 0)
         col = ridx % wp_o
         row = ridx // wp_o
@@ -1048,26 +1086,30 @@ def conv3d_fold_s2(
         ),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(*[pk] * 9, wb, b_tiled)
+    )(*[pk] * 9, wb, b_tiled, *extra_inputs)
 
 
 def _banded_weights_up(k3: jax.Array, p_in: int) -> jax.Array:
-    """Stride-2 DECONV banded weights: (3,3,3,C,C/2) → (3,3,(p_in+2)·C, 128).
+    """Stride-2 DECONV banded weights: (k,k,k,C,C/2) → (k,k,(p_in+2)·C, 128).
 
     ``k3`` is the pre-flipped ConvTranspose kernel (conv orientation, as
     stored by ConvTransposeBN).  With ``co = c/2`` (p_out = 2·p_in, cells
-    preserved, d_out = 2·d_in): ``j = (d_out + dz - 1)/2`` when integer ⇒
-    input phase ``φi = (φo + dz - 1)/2`` for ``(φo + dz)`` odd.
+    preserved, d_out = 2·d_in): input phase ``φi = (φo + dz - (k-2))/2``
+    when integer — k=3 is the (p=1, op=1) hourglass deconv, k=4 the
+    (p=1, op=0) IGEV deconv; both give the same (p_in+2)-cell band.
     """
+    k = k3.shape[0]
     c, co = k3.shape[3], k3.shape[4]
     p_out = 2 * p_in
     assert co * 2 == c and c * p_in == 128, (c, co, p_in)
-    out = jnp.zeros((3, 3, (p_in + 2) * c, 128), k3.dtype)
+    assert k in (3, 4), k
+    out = jnp.zeros((k, k, (p_in + 2) * c, 128), k3.dtype)
     for phi_o in range(p_out):
-        for dz in range(3):
-            if (phi_o + dz - 1) % 2:
+        for dz in range(k):
+            num = phi_o + dz - (k - 2)
+            if num % 2:
                 continue
-            phi_i = (phi_o + dz - 1) // 2
+            phi_i = num // 2
             out = out.at[
                 :, :, (phi_i + 1) * c : (phi_i + 2) * c,
                 phi_o * co : (phi_o + 1) * co,
@@ -1076,7 +1118,8 @@ def _banded_weights_up(k3: jax.Array, p_in: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret")
+    jax.jit, static_argnames=("relu", "leaky", "w_real", "h_real", "tile_h",
+                              "interpret")
 )
 def conv3d_fold_up(
     pk: jax.Array,
@@ -1089,8 +1132,11 @@ def conv3d_fold_up(
     h_real: int,
     tile_h: int = 2,
     interpret: bool = False,
+    leaky: float | None = None,
+    post_mul: jax.Array | None = None,
 ) -> jax.Array:
-    """ConvTranspose3d ``(k=3, s=2, p=1, op=1)``, packed-padded in → packed-
+    """ConvTranspose3d ``(k=3, s=2, p=1, op=1)`` or ``(k=4, s=2, p=1,
+    op=0)`` — kernel size inferred from ``k3`` — packed-padded in → packed-
     padded out at DOUBLE resolution (``c_out = c/2``, cells preserved).
 
     Each (row, col) output parity pair selects ≤2 taps per spatial dim whose
@@ -1107,6 +1153,7 @@ def conv3d_fold_up(
     th_o = 2 * th_i
     cells = cells_p - 2
     n_tiles = rows_p // th_i - 2
+    kk = k3.shape[0]
     c, co = k3.shape[3], k3.shape[4]
     p_in = 128 // c
     assert co * 2 == c, (c, co)
@@ -1114,9 +1161,11 @@ def conv3d_fold_up(
     wp_o = -(-(w_o + 2) // 8) * 8
     lw = (p_in + 2) * c
     u_n, v_n = th_i, wp_o // 2
-    # Flat-shift wrap (coff=1 at v = v_n−1) contaminates out cols wp_o−2,
-    # wp_o−1 — they must be masked padding, true whenever w_o ≢ 6 (mod 8).
-    assert wp_o >= w_o + 3, (wp_o, w_o)
+    # Window col-pair count v2 = v_n + 1: the flat-shift wrap (coff=1 at the
+    # last pair) then contaminates only pairs ≥ v_n, which the final
+    # [:, :wp_o] slice drops — valid for EVERY width (at w_o ≡ 6 mod 8,
+    # wp_o = w_o + 2 and a v_n-wide window would contaminate real col w_o).
+    v2 = v_n + 1
 
     wb = _banded_weights_up(k3, p_in).astype(pk.dtype)
     if bias is None:
@@ -1142,7 +1191,9 @@ def conv3d_fold_up(
         )
 
     in_specs = [cell_spec(dc, dh) for dc in range(3) for dh in range(3)]
-    in_specs.append(pl.BlockSpec((3, 3, lw, 128), lambda bi, di, hi: (0,) * 4))
+    in_specs.append(
+        pl.BlockSpec((kk, kk, lw, 128), lambda bi, di, hi: (0,) * 4)
+    )
     in_specs.append(pl.BlockSpec((1, 128), lambda bi, di, hi: (0, 0)))
     inputs = [*[pk] * 9, wb, b_tiled]
     if residual is not None:
@@ -1151,14 +1202,33 @@ def conv3d_fold_up(
                          lambda bi, di, hi: (bi, di, hi, 0, 0))
         )
         inputs.append(residual)
+    if post_mul is not None:
+        in_specs.append(
+            pl.BlockSpec((1, th_o, wp_o, 128),
+                         lambda bi, di, hi: (bi, hi, 0, 0))
+        )
+        inputs.append(post_mul)
 
-    # (parity → valid taps with their dense window offsets)
-    # rows: w_r = u + (p_r + dy - 1)//2 + 1 for (p_r + dy) odd
-    # cols: w_c = v + (p_x + dx)//2 for (p_x + dx) even  [after +? see below]
-    row_taps = {0: [(1, 1)], 1: [(0, 1), (2, 2)]}   # p_r → [(dy, row_off)]
-    col_taps = {0: [(0, 0), (2, 1)], 1: [(1, 1)]}   # p_x → [(dx, col_off)]
+    # (parity → valid taps with their dense window offsets), derived from
+    # lhs-dilated-conv index algebra: rows w_r = u + (p_r+dy-(kk-2))//2 + 1
+    # for (p_r+dy-(kk-2)) even; cols w_c = v + (p_x+dx-(kk-2)-1)//2 + 1 for
+    # (p_x+dx-(kk-2)-1) even (the −1 is the packed left pad col).
+    row_taps = {
+        pr: [(dy, (pr + dy - (kk - 2)) // 2 + 1) for dy in range(kk)
+             if (pr + dy - (kk - 2)) % 2 == 0]
+        for pr in (0, 1)
+    }
+    col_taps = {
+        px: [(dx, (px + dx - (kk - 2) - 1) // 2 + 1) for dx in range(kk)
+             if (px + dx - (kk - 2) - 1) % 2 == 0]
+        for px in (0, 1)
+    }
 
     def body(*args):
+        m_ref = None
+        if post_mul is not None:
+            *args, m_ref, o_ref = args
+            args = (*args, o_ref)
         if residual is not None:
             *xs, w_ref, b_ref, r_ref, o_ref = args
         else:
@@ -1183,34 +1253,35 @@ def conv3d_fold_up(
         # per-tap non-contiguous copies.  The coff=1 wrap contaminates only
         # out cols ≥ wp_o-2, masked because wp_o ≥ w_o+3 (w_o ≡ 0 mod 8
         # everywhere in this pipeline — asserted at function scope).
-        if wp_in >= v_n:
-            win = win[:, :v_n]
+        if wp_in >= v2:
+            win = win[:, :v2]
         else:
-            win = jnp.pad(win, ((0, 0), (0, v_n - wp_in), (0, 0)))
+            win = jnp.pad(win, ((0, 0), (0, v2 - wp_in), (0, 0)))
         flat = jnp.pad(
-            win.reshape((th_i + 2) * v_n, lw), ((0, 1), (0, 0))
+            win.reshape((th_i + 2) * v2, lw), ((0, 1), (0, 0))
         )
 
         subs = []
         for p_r in (0, 1):
             row_subs = []
             for p_x in (0, 1):
-                acc = jnp.zeros((u_n * v_n, 128), jnp.float32)
+                acc = jnp.zeros((u_n * v2, 128), jnp.float32)
                 for dy, roff in row_taps[p_r]:
                     for dx, coff in col_taps[p_x]:
-                        sh = roff * v_n + coff
+                        sh = roff * v2 + coff
                         acc += jnp.dot(
                             jax.lax.slice(
-                                flat, (sh, 0), (sh + u_n * v_n, lw)
+                                flat, (sh, 0), (sh + u_n * v2, lw)
                             ),
                             w_ref[dy, dx],
                             preferred_element_type=jnp.float32,
                         )
-                row_subs.append(acc.reshape(u_n, v_n, 128))
-            # interleave cols via lanes: (u,v,128)+(u,v,128) → (u,v,256) →
-            # 128-aligned lane→sublane split → (u, wp_o, 128).
+                row_subs.append(acc.reshape(u_n, v2, 128))
+            # interleave cols via lanes: (u,v2,128)+(u,v2,128) → (u,v2,256)
+            # → 128-aligned lane→sublane split → (u, 2·v2, 128) → drop the
+            # wrap-contaminated tail pair with a contiguous prefix slice.
             pair = jnp.concatenate(row_subs, axis=-1)
-            subs.append(pair.reshape(u_n, 1, wp_o, 128))
+            subs.append(pair.reshape(u_n, 1, 2 * v2, 128)[:, :, :wp_o])
         # interleave rows: outer-dim merge (free): (u, 2, wp_o, 128) →
         # (th_o, wp_o, 128); out row = 2u + p_r.
         out = jnp.concatenate(subs, axis=1).reshape(th_o, wp_o, 128)
@@ -1219,6 +1290,10 @@ def conv3d_fold_up(
             out = out + r_ref[0, 0].astype(jnp.float32)
         if relu:
             out = jnp.maximum(out, 0.0)
+        elif leaky is not None:
+            out = jnp.where(out > 0.0, out, leaky * out)
+        if m_ref is not None:
+            out = out * m_ref[0].astype(jnp.float32)
         m_o = th_o * wp_o
         ridx = jax.lax.broadcasted_iota(jnp.int32, (m_o, 1), 0)
         col = ridx % wp_o
@@ -1249,8 +1324,29 @@ def conv3d_fold_up(
     )(*inputs)
 
 
+def tile_packed_mul(att: jax.Array, p: int, tile_h: int,
+                    dtype=None) -> jax.Array:
+    """Broadcast-over-D multiplier → packed OUTPUT tile geometry.
+
+    ``att (B, H, W, C)`` (e.g. a sigmoid feature-attention map) tiled ``p``×
+    across lanes and padded to the packed layout ``(B, (n_tiles+2)·th, wp,
+    128)``, for the fold kernels' ``post_mul`` operand.  Pure elementwise
+    XLA (tile + pad) — ~26 MB at the IGEV quarter-res shape, no conv in
+    sight, so no strategy-poison surface.
+    """
+    b, h, w, c = att.shape
+    assert c * p == 128, (c, p)
+    th = tile_h
+    assert h % th == 0, (h, th)
+    n_tiles = h // th
+    wp = -(-(w + 2) // 8) * 8
+    x = jnp.tile(att.astype(dtype or att.dtype), (1, 1, 1, p))
+    return jnp.pad(x, ((0, 0), (th, th), (1, wp - w - 1), (0, 0)))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret")
+    jax.jit, static_argnames=("relu", "leaky", "w_real", "h_real", "tile_h",
+                              "interpret")
 )
 def conv1x1_fold_p(
     pk: jax.Array,
@@ -1262,6 +1358,7 @@ def conv1x1_fold_p(
     h_real: int,
     tile_h: int,
     interpret: bool = False,
+    leaky: float | None = None,
 ) -> jax.Array:
     """1×1×1 conv in the packed-padded geometry (same channel count).
 
@@ -1296,6 +1393,8 @@ def conv1x1_fold_p(
         ) + b_ref[0].astype(jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
+        elif leaky is not None:
+            acc = jnp.where(acc > 0.0, acc, leaky * acc)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
         col = ridx % wp
         row = ridx // wp

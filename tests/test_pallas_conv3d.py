@@ -125,6 +125,36 @@ def test_conv3d_fold_s2_matches_xla(c, d, h, w, th):
                                rtol=1e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("kk,op,c,d,h,w,th", [
+    (3, 1, 64, 16, 8, 10, 4),   # ACV hourglass deconv shape class
+    (4, 0, 64, 16, 8, 10, 4),   # IGEV deconv (k=4, op=0)
+    (4, 0, 32, 16, 4, 7, 2),    # w_o = 14 ≡ 6 (mod 8): wrap-slice regime
+])
+def test_conv3d_fold_up_matches_xla(kk, op, c, d, h, w, th):
+    """Packed stride-2 deconv == lhs-dilated conv oracle, k ∈ {3, 4}."""
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        conv3d_fold_up, pack_padded_k, unpack_padded_k,
+    )
+
+    rng = np.random.default_rng(59)
+    co = c // 2
+    x = jnp.asarray(rng.standard_normal((1, d, h, w, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((kk,) * 3 + (c, co)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+    pl_ = kk - 2
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), [(pl_, pl_ + op)] * 3, lhs_dilation=(2, 2, 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    pk = pack_padded_k(x, tile_h=th, interpret=True)
+    out = conv3d_fold_up(pk, k, b, relu=False, w_real=w, h_real=h,
+                         tile_h=th, interpret=True)
+    got = unpack_padded_k(out, 2 * d, 2 * h, 2 * w, co, tile_h=2 * th,
+                          interpret=True)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("kk,op", [(4, 0), (3, 1)])
 def test_deconv3d_phases_matches_dilated(kk, op):
     """Phase-decomposed stride-2 ConvTranspose3d == lhs-dilated conv oracle
