@@ -133,8 +133,17 @@ def acv_ddim_inference(
     return final, baseline_disp
 
 
+def _pcw_packed_flag() -> bool:
+    """All-Pallas packed PCW denoise (pcw_denoise_fast) — same cache-key
+    pattern as the ACV flag."""
+    import os
+
+    return os.environ.get("DIFFU_PCW_PACKED", "0") == "1"
+
+
 @functools.cache
-def _pcw_stages(baseline_model, ddim_model, cfg: DDIMConfig):
+def _pcw_stages(baseline_model, ddim_model, cfg: DDIMConfig,
+                packed: bool = False):
     from diffuvolume_tpu.models.pcw import PCWNet
 
     sched = make_schedule(1000)
@@ -159,9 +168,25 @@ def _pcw_stages(baseline_model, ddim_model, cfg: DDIMConfig):
 
     @jax.jit
     def sample(ddim_vars, combine, fl, fr, baseline_disp, baseline_latent, rng):
+        from diffuvolume_tpu.models.pcw import pcw_denoise_fast
+        from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
         h, w = baseline_disp.shape[1], baseline_disp.shape[2]
+        # Packed Mish-hourglass denoise (r4): geometry guard mirrors the ACV
+        # dispatch — unusual crops fall back to the module path.
+        fast = (
+            packed
+            and is_tpu_lowering()
+            and "batch_stats" in ddim_vars
+            and (h // 4) % 8 == 0
+            and (w // 4) % 4 == 0
+        )
 
         def denoise_fn(latent, t):
+            if fast:
+                return pcw_denoise_fast(
+                    ddim_model, ddim_vars, combine, fl, fr, latent, t, (h, w)
+                )
             return ddim_model.apply(
                 ddim_vars, combine, fl, fr, latent, t, (h, w),
                 method=PCWNet.denoise,
@@ -193,7 +218,8 @@ def pcw_ddim_inference(
     from diffuvolume_tpu.diffusion.ddim import KITTI12_DDIM
 
     cfg = KITTI12_DDIM if cfg is None else cfg
-    prep, sample = _pcw_stages(baseline_model, ddim_model, cfg)
+    prep, sample = _pcw_stages(baseline_model, ddim_model, cfg,
+                               _pcw_packed_flag())
     baseline_disp, baseline_latent, combine, fl, fr = prep(
         baseline_vars, ddim_vars, left, right
     )

@@ -401,3 +401,139 @@ class PCWNet(nn.Module):
         pred1, _ = self._head(self.classif1_0, self.classif1_1, out1, out_hw, train)
         pred2, _ = self._head(self.classif2_0, self.classif2_1, out2, out_hw, train)
         return [pred0, comb_pred, pred1, pred2, pred3, disp_finetune]
+
+
+# ---- TPU-eval fast path: all-Pallas packed aggregation (round 4) ----
+#
+# Same all-or-nothing packed strategy as the ACV denoise (models/acv.py
+# r3/r4 history: partial-Pallas configs poison neighboring XLA conv
+# strategies; the full packed chain took the ACV step 49 → 25 ms).  The PCW
+# denoise re-runs three Mish hourglasses + the classifier head over the
+# (B, 48, H4, W4, 32) combine volume per DDIM step
+# (pwcnet_ddim.py:467-530) — structurally the ACV aggregation minus
+# attention, plus Mish epilogues (in-kernel, see conv3d._apply_act).  The
+# full-resolution warp refinement stays on XLA (2-D image convs).
+
+
+def _hourglass_mish_packed(model, variables, name, pk_in, h4, w4, th,
+                           interpret=False):
+    """HourglassMish fully packed (BN folded, eval): conv1(s2) → conv2 →
+    conv3(s2) → conv4 → conv5 = deconv+redir2+act → conv6 = deconv+redir1+act.
+    """
+    from diffuvolume_tpu.models.acv import (
+        _fold_convbn_tree,
+        _fold_deconv_tree,
+    )
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        conv1x1_fold_p,
+        conv3d_fold_p,
+        conv3d_fold_s2,
+        conv3d_fold_up,
+    )
+
+    dt = model.dtype
+    mish = model.act == "mish"
+    relu = not mish
+    p = variables["params"][name]
+    bs = variables["batch_stats"][name]
+    h8, w8, h16, w16 = h4 // 2, w4 // 2, h4 // 4, w4 // 4
+    th2, th4 = th // 2, th // 4
+    assert th4 >= 2, th
+
+    k1, b1 = _fold_convbn_tree(p["conv1"], bs["conv1"])
+    c1 = conv3d_fold_s2(pk_in, k1.astype(dt), b1, relu=relu, mish=mish,
+                        w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
+    k2, b2 = _fold_convbn_tree(p["conv2"], bs["conv2"])
+    c2 = conv3d_fold_p(c1, k2.astype(dt), b2, relu=relu, mish=mish,
+                       w_real=w8, h_real=h8, tile_h=th2, interpret=interpret)
+    k3, b3 = _fold_convbn_tree(p["conv3"], bs["conv3"])
+    c3 = conv3d_fold_s2(c2, k3.astype(dt), b3, relu=relu, mish=mish,
+                        w_real=w8, h_real=h8, tile_h=th2, interpret=interpret)
+    k4, b4 = _fold_convbn_tree(p["conv4"], bs["conv4"])
+    c4 = conv3d_fold_p(c3, k4.astype(dt), b4, relu=relu, mish=mish,
+                       w_real=w16, h_real=h16, tile_h=th4,
+                       interpret=interpret)
+
+    kr2, br2 = _fold_convbn_tree(p["redir2"], bs["redir2"])
+    r2 = conv1x1_fold_p(c2, kr2.astype(dt), br2, w_real=w8, h_real=h8,
+                        tile_h=th2, interpret=interpret)
+    k5, b5 = _fold_deconv_tree(p["conv5"], bs["conv5"])
+    c5 = conv3d_fold_up(c4, k5.astype(dt), b5, relu=relu, mish=mish,
+                        residual=r2, w_real=w16, h_real=h16, tile_h=th4,
+                        interpret=interpret)
+
+    kr1, br1 = _fold_convbn_tree(p["redir1"], bs["redir1"])
+    r1 = conv1x1_fold_p(pk_in, kr1.astype(dt), br1, w_real=w4, h_real=h4,
+                        tile_h=th, interpret=interpret)
+    k6, b6 = _fold_deconv_tree(p["conv6"], bs["conv6"])
+    return conv3d_fold_up(c5, k6.astype(dt), b6, relu=relu, mish=mish,
+                          residual=r1, w_real=w8, h_real=h8, tile_h=th2,
+                          interpret=interpret)
+
+
+def pcw_denoise_fast(
+    model: PCWNet,
+    variables,
+    combine_volume: jax.Array,
+    fl,
+    fr,
+    latent: jax.Array,
+    t: jax.Array,
+    out_hw: tuple[int, int],
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """PCWNet.denoise with packed conv chains — numerically equal (BN folded
+    in f32) — eval only.  The refinement net runs through the module."""
+    import os
+
+    from diffuvolume_tpu.models.acv import _fold_convbn_params
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        conv3d_fold_p,
+        pack_padded_k,
+        unpack_padded_k,
+    )
+    from diffuvolume_tpu.ops.pallas.fused_head import (
+        fused_uncertainty_at,
+        fused_upsample_softargmin,
+    )
+
+    dt = model.dtype
+    b, d, h4, w4, _ = combine_volume.shape
+    th = 8
+    mish = model.act == "mish"
+
+    noise = model.apply(variables, latent, t,
+                        method=lambda m, l, tt: m.time_embedding(l, tt))
+    noise = jnp.clip(noise, -model.scale, model.scale)
+    noise = (noise / model.scale + 1.0) / 2.0
+    pk = pack_padded_k(combine_volume, th, interpret=interpret,
+                       noise=noise.astype(combine_volume.dtype))
+
+    pk = _hourglass_mish_packed(model, variables, "dres2", pk, h4, w4, th,
+                                interpret)
+    pk = _hourglass_mish_packed(model, variables, "dres3", pk, h4, w4, th,
+                                interpret)
+    pk = _hourglass_mish_packed(model, variables, "dres4", pk, h4, w4, th,
+                                interpret)
+
+    kc, bc = _fold_convbn_params(variables, "classif3_0")
+    pk_h = conv3d_fold_p(pk, kc.astype(dt), bc, relu=not mish, mish=mish,
+                         w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
+    k_head = variables["params"]["classif3_1"]["kernel"]
+    pk_c = conv3d_fold_p(pk_h, k_head.astype(dt), None, w_real=w4,
+                         h_real=h4, tile_h=th, interpret=interpret)
+    cost3 = unpack_padded_k(pk_c, d, h4, w4, 1, tile_h=th,
+                            interpret=interpret)[..., 0].astype(jnp.float32)
+
+    pred3, unc3 = fused_upsample_softargmin(
+        cost3, model.max_disp, out_hw, align_corners=True,
+        interpret=interpret or None,
+    )
+    disp_finetune = model.apply(variables, pred3, fl, fr, out_hw, False,
+                                method=PCWNet.refine)
+    if os.environ.get("DIFFU_PCW_APPROX_UNC", "0") != "1":
+        unc3 = fused_uncertainty_at(
+            cost3, disp_finetune, model.max_disp, out_hw,
+            align_corners=True, interpret=interpret or None,
+        )
+    return disp_finetune, unc3, noise.astype(jnp.float32)

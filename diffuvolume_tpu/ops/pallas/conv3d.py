@@ -52,6 +52,24 @@ _VMEM_LIMIT = pltpu.CompilerParams(
 )
 
 
+def _apply_act(acc, relu, leaky, mish):
+    """Fold-kernel activation epilogue on the f32 accumulator.
+
+    mish(x) = x·tanh(softplus(x)) via the (1+eˣ)² identity — one exp
+    instead of exp+log1p+tanh on the VPU; x>20 passes through (tanh
+    saturated), which also guards the exp overflow.
+    """
+    if relu:
+        return jnp.maximum(acc, 0.0)
+    if mish:
+        z = jnp.exp(jnp.minimum(acc, 20.0))
+        t = (1.0 + z) * (1.0 + z)
+        return jnp.where(acc > 20.0, acc, acc * (t - 1.0) / (t + 1.0))
+    if leaky is not None:
+        return jnp.where(acc > 0.0, acc, leaky * acc)
+    return acc
+
+
 def _pack(x: jax.Array, p: int) -> jax.Array:
     """(B, D, H, W, C) → (B, D/p, H, W, p·C)."""
     b, d, h, w, c = x.shape
@@ -453,8 +471,8 @@ def unpack_padded(pk: jax.Array, d: int, h: int, w: int, co: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "leaky", "w_real", "h_real", "tile_h",
-                     "interpret"),
+    static_argnames=("relu", "leaky", "mish", "w_real", "h_real",
+                     "tile_h", "interpret"),
 )
 def conv3d_fold_p(
     pk: jax.Array,
@@ -468,6 +486,7 @@ def conv3d_fold_p(
     tile_h: int = 8,
     interpret: bool = False,
     leaky: float | None = None,
+    mish: bool = False,
     post_mul: jax.Array | None = None,
 ) -> jax.Array:
     """3×3×3 stride-1 pad-1 conv, packed-padded in → packed-padded out.
@@ -583,10 +602,7 @@ def conv3d_fold_p(
         acc += b_ref[0].astype(jnp.float32)
         if r_ref is not None:
             acc += r_ref[0, 0].reshape(m, n_lanes).astype(jnp.float32)
-        if relu:
-            acc = jnp.maximum(acc, 0.0)
-        elif leaky is not None:
-            acc = jnp.where(acc > 0.0, acc, leaky * acc)
+        acc = _apply_act(acc, relu, leaky, mish)
         if m_ref is not None:
             acc = acc * m_ref[0].reshape(m, n_lanes).astype(jnp.float32)
         # Zero everything outside the real region: border blocks entirely,
@@ -914,8 +930,8 @@ def _banded_weights_s2(k3: jax.Array, p_in: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "leaky", "w_real", "h_real", "tile_h",
-                              "interpret")
+    jax.jit, static_argnames=("relu", "leaky", "mish", "w_real", "h_real",
+                              "tile_h", "interpret")
 )
 def conv3d_fold_s2(
     pk: jax.Array,
@@ -928,6 +944,7 @@ def conv3d_fold_s2(
     tile_h: int = 4,
     interpret: bool = False,
     leaky: float | None = None,
+    mish: bool = False,
     post_mul: jax.Array | None = None,
 ) -> jax.Array:
     """3×3×3 STRIDE-2 pad-1 conv, packed-padded in → packed-padded out at
@@ -1056,10 +1073,7 @@ def conv3d_fold_s2(
                     a, w_ref[dy, dx], preferred_element_type=jnp.float32
                 )
         acc += b_ref[0].astype(jnp.float32)
-        if relu:
-            acc = jnp.maximum(acc, 0.0)
-        elif leaky is not None:
-            acc = jnp.where(acc > 0.0, acc, leaky * acc)
+        acc = _apply_act(acc, relu, leaky, mish)
         if m_ref is not None:
             acc = acc * m_ref[0].reshape(m_o, 128).astype(jnp.float32)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (m_o, 1), 0)
@@ -1118,8 +1132,8 @@ def _banded_weights_up(k3: jax.Array, p_in: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "leaky", "w_real", "h_real", "tile_h",
-                              "interpret")
+    jax.jit, static_argnames=("relu", "leaky", "mish", "w_real", "h_real",
+                              "tile_h", "interpret")
 )
 def conv3d_fold_up(
     pk: jax.Array,
@@ -1133,6 +1147,7 @@ def conv3d_fold_up(
     tile_h: int = 2,
     interpret: bool = False,
     leaky: float | None = None,
+    mish: bool = False,
     post_mul: jax.Array | None = None,
 ) -> jax.Array:
     """ConvTranspose3d ``(k=3, s=2, p=1, op=1)`` or ``(k=4, s=2, p=1,
@@ -1288,10 +1303,7 @@ def conv3d_fold_up(
         out = out + b_ref[0].astype(jnp.float32)
         if r_ref is not None:
             out = out + r_ref[0, 0].astype(jnp.float32)
-        if relu:
-            out = jnp.maximum(out, 0.0)
-        elif leaky is not None:
-            out = jnp.where(out > 0.0, out, leaky * out)
+        out = _apply_act(out, relu, leaky, mish)
         if m_ref is not None:
             out = out * m_ref[0].astype(jnp.float32)
         m_o = th_o * wp_o
@@ -1345,8 +1357,8 @@ def tile_packed_mul(att: jax.Array, p: int, tile_h: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "leaky", "w_real", "h_real", "tile_h",
-                              "interpret")
+    jax.jit, static_argnames=("relu", "leaky", "mish", "w_real", "h_real",
+                              "tile_h", "interpret")
 )
 def conv1x1_fold_p(
     pk: jax.Array,
@@ -1359,6 +1371,7 @@ def conv1x1_fold_p(
     tile_h: int,
     interpret: bool = False,
     leaky: float | None = None,
+    mish: bool = False,
 ) -> jax.Array:
     """1×1×1 conv in the packed-padded geometry (same channel count).
 
@@ -1391,10 +1404,7 @@ def conv1x1_fold_p(
             x_ref[0, 0].reshape(m, 128), w_ref[...],
             preferred_element_type=jnp.float32,
         ) + b_ref[0].astype(jnp.float32)
-        if relu:
-            acc = jnp.maximum(acc, 0.0)
-        elif leaky is not None:
-            acc = jnp.where(acc > 0.0, acc, leaky * acc)
+        acc = _apply_act(acc, relu, leaky, mish)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
         col = ridx % wp
         row = ridx // wp

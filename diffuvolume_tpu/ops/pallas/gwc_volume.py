@@ -142,10 +142,14 @@ def gwc_volume_packed(
     × G groups (``p = 128 // G``) — exactly ``pack_padded_k(build_gwc_volume
     (l, r, D, G), th)``, without ever materializing the (B, D, H, W, G)
     volume in HBM or running its 48 shifted slice/pad/stack XLA ops
-    (2.5 ms at IGEV's 384×1248 encode, G=8 lanes 16× padded).  Per
-    (b, h-tile) program: D static rolls of the right row block (sublane
-    axis), product, and a block-diagonal (C, G) group-mean matmul per
-    shift, lane-concatenated per cell.
+    (2.5 ms at IGEV's 384×1248 encode, G=8 lanes 16× padded).
+
+    The grid runs 8-row sub-programs writing into the th-tiled output
+    (``tile_h`` may exceed the program row count: the first attempt ran one
+    program per 16-row tile and blew scoped VMEM at 73.9 MB — the D
+    shifted-product temporaries scale with program rows).  Shifts are
+    static slice-concats (Mosaic's rotate op rejects non-32-bit data);
+    per-shift group-mean via a block-diagonal (C, G) matmul.
     """
     b, h, w, c = left.shape
     g = num_groups
@@ -153,7 +157,9 @@ def gwc_volume_packed(
     assert g * p == 128 and max_disp % p == 0, (g, max_disp)
     cells = max_disp // p
     th = tile_h
-    assert h % th == 0, (h, th)
+    hk = min(th, 8)
+    s_split = th // hk
+    assert h % th == 0 and th % hk == 0, (h, th)
     n_tiles = h // th
     wp = -(-(w + 2) // 8) * 8
     cpg = c // g
@@ -164,41 +170,51 @@ def gwc_volume_packed(
         pm[gi * cpg : (gi + 1) * cpg, gi] = 1.0 / cpg
     pmat = jnp.asarray(pm, left.dtype)
 
-    grid = (b, n_tiles + 2)
+    n_hk = h // hk
+    grid = (b, (n_tiles + 2) * s_split)
 
     def io_spec():
         return pl.BlockSpec(
-            (1, th, w, c),
-            lambda bi, hi: (bi, jnp.clip(hi - 1, 0, n_tiles - 1), 0, 0),
+            (1, hk, w, c),
+            lambda bi, gi: (bi, jnp.clip(gi - s_split, 0, n_hk - 1), 0, 0),
         )
 
     def body(l_ref, r_ref, p_ref, o_ref):
-        hi = pl.program_id(1)
-        interior = (hi >= 1) & (hi <= n_tiles)
-        l = l_ref[0].reshape(th * w, c)
-        r = r_ref[0].reshape(th * w, c)
-        colv = jax.lax.broadcasted_iota(jnp.int32, (th * w, 1), 0) % w
+        gi = pl.program_id(1)
+        interior = (gi >= s_split) & (gi < s_split + n_hk)
+        m = hk * w
+        l = l_ref[0].reshape(m, c)
+        r = r_ref[0].reshape(m, c)
+        colv = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % w
         scale = jnp.where(interior, 1.0, 0.0)
         for cell in range(cells):
             pieces = []
             for phi in range(p):
                 d = cell * p + phi
-                # Roll along the flattened (row, col) axis: within-row shift
-                # is correct for col >= d; cross-row contamination lands in
-                # the masked col < d region (same trick as gwc_volume_pallas).
-                shifted = pltpu.roll(r, shift=d, axis=0) if d else r
+                # Static slice-concat shift along the flattened (row, col)
+                # axis: within-row shift is correct for col >= d; the
+                # cross-row wrap lands in the masked col < d region.
+                shifted = (
+                    jnp.concatenate([r[m - d :], r[: m - d]], axis=0)
+                    if d
+                    else r
+                )
                 corr = jax.lax.dot_general(
                     l * shifted, p_ref[...],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (th·w, G)
-                pieces.append(jnp.where(colv >= d, corr, 0.0))
-            tile = jnp.concatenate(pieces, axis=-1).reshape(th, w, 128)
+                )  # (m, G)
+                pieces.append(
+                    jnp.where(colv >= d, corr, 0.0).astype(o_ref.dtype)
+                )
+            tile = jnp.concatenate(pieces, axis=-1).reshape(hk, w, 128)
             tile = jnp.pad(tile, ((0, 0), (1, wp - w - 1), (0, 0)))
-            o_ref[0, cell + 1] = (tile * scale).astype(o_ref.dtype)
-        zero = jnp.zeros((th, wp, 128), o_ref.dtype)
+            o_ref[0, cell + 1] = tile * scale.astype(o_ref.dtype)
+        zero = jnp.zeros((hk, wp, 128), o_ref.dtype)
         o_ref[0, 0] = zero
         o_ref[0, cells + 1] = zero
+
+    from diffuvolume_tpu.ops.pallas.conv3d import _VMEM_LIMIT
 
     return pl.pallas_call(
         body,
@@ -206,13 +222,17 @@ def gwc_volume_packed(
         in_specs=[
             io_spec(),
             io_spec(),
-            pl.BlockSpec((c, g), lambda bi, hi: (0, 0)),
+            pl.BlockSpec((c, g), lambda bi, gi: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, cells + 2, th, wp, 128), lambda bi, hi: (bi, 0, hi, 0, 0)
+            (1, cells + 2, hk, wp, 128), lambda bi, gi: (bi, 0, gi, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(
             (b, cells + 2, (n_tiles + 2) * th, wp, 128), left.dtype
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
+        ),
     )(left, right, pmat)

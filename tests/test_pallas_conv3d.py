@@ -228,6 +228,48 @@ def test_s2d_conv2d_matches_xla(ci, bias):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_pcw_denoise_fast_matches_module():
+    """Packed Mish-hourglass PCW fast path == PCWNet.denoise (interpret).
+
+    Covers the in-kernel Mish epilogue, the noise-fused pack, and the three
+    chained hourglasses + classifier head; refine/uncertainty shared with
+    the module path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffuvolume_tpu.models.pcw import PCWNet, pcw_denoise_fast
+
+    h, w, md = 64, 64, 192  # h4 = 16 (th=8 ladder needs th4 = 2)
+    rng = jax.random.PRNGKey(0)
+    m = PCWNet(max_disp=md, diffusion=True)
+    left = jax.random.normal(rng, (1, h, w, 3)) * 0.3
+    variables = m.init(
+        jax.random.PRNGKey(1), left, left, jnp.zeros((1, h // 4, w // 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, md // 4, h // 4, w // 4)),
+        train=True,
+    )
+    h4, w4 = h // 4, w // 4
+    vol = jax.random.normal(jax.random.fold_in(rng, 2),
+                            (1, md // 4, h4, w4, 32)) * 0.5
+    fl = {"refine": jax.random.normal(jax.random.fold_in(rng, 4),
+                                      (1, h4, w4, 32)) * 0.5}
+    fr = {"refine": jax.random.normal(jax.random.fold_in(rng, 5),
+                                      (1, h4, w4, 32)) * 0.5}
+    latent = jax.random.normal(jax.random.fold_in(rng, 3), (1, md // 4, h4, w4))
+    t = jnp.full((1,), 300, jnp.int32)
+
+    want = m.apply(variables, vol, fl, fr, latent, t, (h, w),
+                   method=PCWNet.denoise, mutable=False)
+    got = pcw_denoise_fast(m, variables, vol, fl, fr, latent, t, (h, w),
+                           interpret=True)
+    for name, a, b in zip(("disp", "unc", "noise"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"pcw fast-path {name} diverged")
+
+
 def test_acv_denoise_fast_matches_module(tmp_path):
     """Packed-chain TPU fast path == ACVNet.denoise (interpret mode, CPU).
 
