@@ -127,6 +127,7 @@ def build_geo_pyramid(
     corr_mode: str | None = None,
     band: int = 64,
     geo_pool: bool | None = None,
+    hwdc: bool = False,
 ) -> GeoPyramid:
     """Precompute the GEV + correlation pyramids (geometry_ddim.py:7-31).
 
@@ -156,7 +157,9 @@ def build_geo_pyramid(
         lane-padded layout makes the level-1 einsum cost as much as the
         full 48-bin one, 204 µs each vs 194 combined).
     """
-    geo = jnp.moveaxis(geo_volume, 1, 3)  # (B, H, W, D, C)
+    # hwdc=True: the volume already arrives (B, H, W, D, C) — the packed
+    # GEV tower unpacks channels-minor, killing this 8-D transpose.
+    geo = geo_volume if hwdc else jnp.moveaxis(geo_volume, 1, 3)
     if geo_pool is None:
         geo_pool = os.environ.get("DIFFU_GEO_POOL1", "0") == "1"
     geo_levels = [geo]

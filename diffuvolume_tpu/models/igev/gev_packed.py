@@ -96,9 +96,10 @@ def gev_tower_packed(
       feat_l: the 4-level feature pyramid (96, 64, 192, 160 ch).
 
     Returns:
-      ``(gev (B, 48, H4, W4, 8), cost (B, 48, H4, W4))`` — gev for the GRU
-      geometry pyramid, cost = classifier head (the reference's 8→1 conv,
-      run packed too: XLA lowers the 1-lane-out conv3d catastrophically).
+      ``(gev (B, H4, W4, 48, 8), cost (B, H4, W4, 48))`` — channels-minor:
+      gev in the geometry pyramid's native layout, cost with D in lanes
+      (softmax/regression over the minor axis).  The classifier head runs
+      packed too: XLA lowers the 1-lane-out conv3d catastrophically.
     """
     from diffuvolume_tpu.ops.pallas.conv3d import (
         conv1x1_fold_p,
@@ -106,7 +107,7 @@ def gev_tower_packed(
         conv3d_fold_s2,
         conv3d_fold_up,
         tile_packed_mul,
-        unpack_padded_k,
+        unpack_hwdc_k,
     )
     from diffuvolume_tpu.ops.pallas.gwc_volume import gwc_volume_packed
 
@@ -235,8 +236,12 @@ def gev_tower_packed(
     pk_cost = conv3d_fold_p(pk_gev, k_cls.astype(dt), None, w_real=w4,
                             h_real=h4, tile_h=th0, interpret=interpret)
 
-    gev = unpack_padded_k(pk_gev, d, h4, w4, 8, tile_h=th0,
-                          interpret=interpret)
-    cost = unpack_padded_k(pk_cost, d, h4, w4, 1, tile_h=th0,
-                           interpret=interpret)[..., 0]
+    # Channels-minor unpacks: gev (B, H, W, D, 8) — the geometry pyramid's
+    # native layout (kills the moveaxis 8-D transpose) — and the cost as
+    # (B, H, W, D) with D in lanes.  The (B, D, H, W, co) unpack at th=16
+    # OOMed scoped VMEM (co lanes pad to 128 → 41.5 MB blocks).
+    gev = unpack_hwdc_k(pk_gev, d, h4, w4, 8, tile_h=th0,
+                        interpret=interpret).reshape(b, h4, w4, d, 8)
+    cost = unpack_hwdc_k(pk_cost, d, h4, w4, 1, tile_h=th0,
+                         interpret=interpret)
     return gev, cost

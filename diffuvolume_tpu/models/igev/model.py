@@ -57,6 +57,18 @@ def _igev_packed_flag() -> bool:
     return os.environ.get("DIFFU_IGEV_PACKED", "0") == "1"
 
 
+def igev_packed_eval(train: bool, max_disp: int, h4: int, w4: int) -> bool:
+    """Single source of truth for the packed-GEV-tower dispatch (shared by
+    IGEVStereo.encode and igev_encode's pyramid-layout decision)."""
+    return (
+        not train
+        and max_disp == 192
+        and h4 % 16 == 0
+        and w4 % 8 == 0
+        and _igev_packed_flag()
+    )
+
+
 class FeatureAtt(nn.Module):
     """Sigmoid feature-attention over a cost volume (submodule.py:226-239)."""
 
@@ -221,13 +233,8 @@ class IGEVStereo(nn.Module):
             match_l = self.desc(self.conv(feat_l[0]))
             match_r = self.desc(self.conv(feat_r[0]))
 
-        h4 = match_l.shape[1]
-        use_packed = (
-            not train
-            and self.max_disp == 192
-            and h4 % 16 == 0
-            and _igev_packed_flag()
-        )
+        h4, w4 = match_l.shape[1], match_l.shape[2]
+        use_packed = igev_packed_eval(train, self.max_disp, h4, w4)
         if use_packed:
             # All-Pallas packed GEV tower (gwc → corr_stem → attended
             # hourglass → classifier) — the ACV all-or-nothing lesson
@@ -252,11 +259,16 @@ class IGEVStereo(nn.Module):
             }
             from diffuvolume_tpu.utils.platform import is_tpu_lowering
 
+            # gev comes back channels-minor (B, H4, W4, D, 8) — the geometry
+            # pyramid's native layout; cost as (B, H4, W4, D) with D in
+            # lanes, so softmax + regression run over the minor axis.
             gev, cost = gev_tower_packed(
                 self, vars_view, match_l, match_r, feat_l,
                 interpret=not is_tpu_lowering(),
             )
-            prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
+            prob = jax.nn.softmax(cost.astype(jnp.float32), axis=-1)
+            bins = jnp.arange(self.max_disp // 4, dtype=jnp.float32)
+            init_disp = jnp.einsum("bhwd,d->bhw", prob, bins)
         else:
             gwc = build_gwc_volume(match_l, match_r, self.max_disp // 4, 8)
             gwc = self.corr_stem(gwc, train)
@@ -268,7 +280,7 @@ class IGEVStereo(nn.Module):
                           dtype=self.dtype)[..., 0],
                 axis=1,
             )
-        init_disp = disparity_regression(prob, self.max_disp // 4)
+            init_disp = disparity_regression(prob, self.max_disp // 4)
 
         cnet_list = self.cnet(left_n, train)
         net_list = [jnp.tanh(h) for h, _ in cnet_list]
@@ -327,8 +339,12 @@ class IGEVStereo(nn.Module):
         from diffuvolume_tpu.models.igev.geometry import build_geo_pyramid, geo_lookup
 
         enc = self.encode(left, right, train)
-        pyramid = build_geo_pyramid(enc["match_l"], enc["match_r"], enc["gev"],
-                                    num_levels=self.corr_levels)
+        b_, h4_, w4_ = enc["init_disp"].shape
+        pyramid = build_geo_pyramid(
+            enc["match_l"], enc["match_r"], enc["gev"],
+            num_levels=self.corr_levels,
+            hwdc=igev_packed_eval(train, self.max_disp, h4_, w4_),
+        )
         b, h4, w4 = enc["init_disp"].shape
         coords = jnp.broadcast_to(
             jnp.arange(w4, dtype=jnp.float32)[None, None, :], (b, h4, w4)
@@ -528,8 +544,12 @@ def igev_encode(model: IGEVStereo, variables, left, right, train: bool = False,
         enc, updates = enc
         enc = dict(enc)
         enc["batch_stats"] = updates["batch_stats"]
-    pyramid = build_geo_pyramid(enc["match_l"], enc["match_r"], enc["gev"],
-                                num_levels=model.corr_levels, corr_mode=corr_mode)
+    h4_, w4_ = enc["init_disp"].shape[1], enc["init_disp"].shape[2]
+    pyramid = build_geo_pyramid(
+        enc["match_l"], enc["match_r"], enc["gev"],
+        num_levels=model.corr_levels, corr_mode=corr_mode,
+        hwdc=igev_packed_eval(train, model.max_disp, h4_, w4_),
+    )
     return enc, pyramid
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -47,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 # r3 in-loop observation of ~42 µs/grid-step wall vs ~5 µs compute+DMA
 # bounds (per-step serialization).
 _VMEM_LIMIT = pltpu.CompilerParams(
-    vmem_limit_bytes=40 * 1024 * 1024,
+    vmem_limit_bytes=64 * 1024 * 1024,
     dimension_semantics=("parallel", "parallel", "parallel"),
 )
 
@@ -778,6 +779,112 @@ def unpack_padded_k(pk: jax.Array, d: int, h: int, w: int, co: int,
     )(pk)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("d", "h", "w", "co", "tile_h", "interpret")
+)
+def unpack_hwdc_k(pk: jax.Array, d: int, h: int, w: int, co: int,
+                  tile_h: int = 8, interpret: bool = False) -> jax.Array:
+    """Packed-padded → ``(B, H, W, D·co)`` channels-minor unpack.
+
+    The (B, D, H, W, co) unpack at tile_h=16 allocates its output block with
+    co lanes padded to 128 — 41.5 MB of scoped VMEM for a 2.8 MB result
+    (r4 OOM).  This layout puts (D·co) in lanes (384 for the GEV, 48 for the
+    classifier cost): per (b, cell, h-chunk) program the tile's 128 lanes
+    (p phases × c_pad channels) map to out lanes [cell·p·co, (cell+1)·p·co)
+    in the SAME order when co == c_pad (pure slice-copy), else via one
+    (128, p·co) 0/1-matmul on the MXU (no strided lane gathers).
+
+    Consumers win too: the GEV's next stop is ``moveaxis(gev, 1, 3)`` into
+    exactly this layout (geometry.py:159) — the 8-D transpose disappears.
+
+    Requires ``w % 8 == 0`` (out block sublane dim).
+    """
+    b, cells_p = pk.shape[0], pk.shape[1]
+    cells = cells_p - 2
+    p = d // cells
+    c_pad = pk.shape[-1] // p
+    assert co <= c_pad and w % 8 == 0, (co, c_pad, w)
+    th = tile_h
+    hk = min(th, 8)
+    s_off = th // hk
+    assert h % hk == 0, (h, hk)
+    n_hk = h // hk
+    wp = pk.shape[3]
+    grid = (b, cells, n_hk)
+    ident = co == c_pad
+
+    e = np.zeros((128, p * co), np.float32)
+    for phi in range(p):
+        for ch in range(co):
+            e[phi * c_pad + ch, phi * co + ch] = 1.0
+    emat = jnp.asarray(e, pk.dtype)
+
+    if ident:
+        # Per-(cell, h-chunk) program; out lanes p·co = 128 per cell block.
+        def body(x_ref, e_ref, o_ref):
+            o_ref[0] = x_ref[0, 0][:, 1 : 1 + w]
+
+        return pl.pallas_call(
+            body,
+            grid=(b, cells, n_hk),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, hk, wp, 128),
+                    lambda bi, di, gi: (bi, di + 1, gi + s_off, 0, 0),
+                ),
+                pl.BlockSpec((128, p * co), lambda bi, di, gi: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, hk, w, p * co), lambda bi, di, gi: (bi, gi, 0, di)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, h, w, d * co), pk.dtype),
+            interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
+        )(pk, emat)
+
+    # co < c_pad (the classifier cost): p·co per cell is below Mosaic's
+    # 128-lane block minimum — one program per h-chunk reads ALL cells
+    # (static refs) and writes the full d·co lane row.
+    def cell_ref(ci):
+        return pl.BlockSpec(
+            (1, 1, hk, wp, 128),
+            functools.partial(
+                lambda bi, gi, ci: (bi, ci + 1, gi + s_off, 0, 0), ci=ci
+            ),
+        )
+
+    def body(*args):
+        *xs, e_ref, o_ref = args
+        outs = []
+        for x_ref in xs:
+            t = x_ref[0, 0][:, 1 : 1 + w].reshape(hk * w, 128)
+            outs.append(
+                jax.lax.dot_general(
+                    t, e_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        out = jnp.concatenate(outs, axis=-1)  # (hk·w, cells·p·co)
+        o_ref[0] = out.reshape(hk, w, d * co).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        body,
+        grid=(b, n_hk),
+        in_specs=[cell_ref(ci) for ci in range(cells)]
+        + [pl.BlockSpec((128, p * co), lambda bi, gi: (0, 0))],
+        out_specs=pl.BlockSpec(
+            (1, hk, w, d * co), lambda bi, gi: (bi, gi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, d * co), pk.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(*([pk] * cells), emat)
+
+
 def _banded_weights_x2(k3: jax.Array) -> jax.Array:
     """(3,3,3,64,32) → (3 dy, 3 dx, 512, 128) cross-packing banded weights.
 
@@ -1181,8 +1288,14 @@ def conv3d_fold_up(
     # [:, :wp_o] slice drops — valid for EVERY width (at w_o ≡ 6 mod 8,
     # wp_o = w_o + 2 and a v_n-wide window would contaminate real col w_o).
     v2 = v_n + 1
+    # Pad the band to a 128-multiple: Mosaic rejects the window shape casts
+    # at lw = 192/160 ("infer-vector-layout: unsupported shape cast",
+    # device-probed r4 — lw = 256/384 configs compile).
+    lw_pad = -(-lw // 128) * 128
 
     wb = _banded_weights_up(k3, p_in).astype(pk.dtype)
+    if lw_pad != lw:
+        wb = jnp.pad(wb, ((0, 0), (0, 0), (0, lw_pad - lw), (0, 0)))
     if bias is None:
         bias = jnp.zeros((co,), jnp.float32)
     b_tiled = jnp.tile(bias.astype(jnp.float32), (128 // co,))[None]
@@ -1207,7 +1320,7 @@ def conv3d_fold_up(
 
     in_specs = [cell_spec(dc, dh) for dc in range(3) for dh in range(3)]
     in_specs.append(
-        pl.BlockSpec((kk, kk, lw, 128), lambda bi, di, hi: (0,) * 4)
+        pl.BlockSpec((kk, kk, lw_pad, 128), lambda bi, di, hi: (0,) * 4)
     )
     in_specs.append(pl.BlockSpec((1, 128), lambda bi, di, hi: (0, 0)))
     inputs = [*[pk] * 9, wb, b_tiled]
@@ -1262,7 +1375,12 @@ def conv3d_fold_up(
         wm1 = rows(xs[0], xs[1], xs[2])[..., 128 - c :]
         w0 = rows(xs[3], xs[4], xs[5])
         wp1 = rows(xs[6], xs[7], xs[8])[..., :c]
-        win = jnp.concatenate([wm1, w0, wp1], axis=-1)  # (th_i+2, wp_in, lw)
+        parts = [wm1, w0, wp1]
+        if lw_pad != lw:
+            parts.append(
+                jnp.zeros((*wm1.shape[:-1], lw_pad - lw), wm1.dtype)
+            )
+        win = jnp.concatenate(parts, axis=-1)  # (th_i+2, wp_in, lw_pad)
         # r4 flat-shift rewrite: window width EXACTLY v_n, so (u, v) merges
         # to one contiguous flatten and every tap is a flat-row shift — no
         # per-tap non-contiguous copies.  The coff=1 wrap contaminates only
@@ -1273,7 +1391,7 @@ def conv3d_fold_up(
         else:
             win = jnp.pad(win, ((0, 0), (0, v2 - wp_in), (0, 0)))
         flat = jnp.pad(
-            win.reshape((th_i + 2) * v2, lw), ((0, 1), (0, 0))
+            win.reshape((th_i + 2) * v2, lw_pad), ((0, 1), (0, 0))
         )
 
         subs = []
@@ -1286,7 +1404,7 @@ def conv3d_fold_up(
                         sh = roff * v2 + coff
                         acc += jnp.dot(
                             jax.lax.slice(
-                                flat, (sh, 0), (sh + u_n * v2, lw)
+                                flat, (sh, 0), (sh + u_n * v2, lw_pad)
                             ),
                             w_ref[dy, dx],
                             preferred_element_type=jnp.float32,

@@ -232,7 +232,7 @@ def gwc_volume_packed(
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=40 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
             dimension_semantics=("parallel", "parallel"),
         ),
     )(left, right, pmat)
