@@ -51,10 +51,20 @@ from diffuvolume_tpu.ops.sampling import context_upsample
 def _igev_packed_flag() -> bool:
     """Packed GEV-tower eval path (gev_packed.py).  Trace-time read; the
     eval pipeline keys its stage cache on this value (DIFFU_CORR_MODE
-    pattern) so mid-process flips retrace correctly."""
+    pattern) so mid-process flips retrace correctly.
+
+    Default (env unset): ON when lowering for TPU (r4: bench_igev
+    4.86 → 5.15 pairs/s), OFF elsewhere (the CPU fallback would run the
+    kernels in interpret mode — correct but orders of magnitude slower
+    than XLA; tests opt in explicitly with DIFFU_IGEV_PACKED=1)."""
     import os
 
-    return os.environ.get("DIFFU_IGEV_PACKED", "0") == "1"
+    v = os.environ.get("DIFFU_IGEV_PACKED")
+    if v is not None:
+        return v == "1"
+    from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
+    return is_tpu_lowering()
 
 
 def igev_packed_eval(train: bool, max_disp: int, h4: int, w4: int) -> bool:

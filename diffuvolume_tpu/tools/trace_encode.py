@@ -52,16 +52,20 @@ def main(argv=None):
         right = jnp.roll(left, -8, axis=2)
         return left, right
 
+    def fetch(outs):
+        # Host fetch, not block_until_ready (relay early-return gotcha).
+        return sum(float(x) for x in outs)
+
     t0 = time.perf_counter()
-    jax.block_until_ready(run(*inputs(0)))
+    fetch(run(*inputs(0)))
     print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
     for i in range(1, 3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(*inputs(i)))
+        fetch(run(*inputs(i)))
         print(f"steady: {(time.perf_counter() - t0) * 1e3:.2f} ms/encode "
               "(incl dispatch)", flush=True)
     with jax.profiler.trace(args.outdir):
-        jax.block_until_ready(run(*inputs(3)))
+        fetch(run(*inputs(3)))
     print(f"trace written to {args.outdir}", flush=True)
 
 
