@@ -1283,11 +1283,13 @@ def conv3d_fold_up(
     wp_o = -(-(w_o + 2) // 8) * 8
     lw = (p_in + 2) * c
     u_n, v_n = th_i, wp_o // 2
-    # Window col-pair count v2 = v_n + 1: the flat-shift wrap (coff=1 at the
-    # last pair) then contaminates only pairs ≥ v_n, which the final
-    # [:, :wp_o] slice drops — valid for EVERY width (at w_o ≡ 6 mod 8,
-    # wp_o = w_o + 2 and a v_n-wide window would contaminate real col w_o).
-    v2 = v_n + 1
+    # Window col-pair count: v_n when the flat-shift wrap (coff=1 at the
+    # last pair) lands in masked pad cols (wp_o ≥ w_o + 3 — every w_o ≢ 6
+    # mod 8), else v_n + 1 with the contaminated tail pair dropped by the
+    # [:, :wp_o] slice (at w_o ≡ 6 mod 8, wp_o = w_o + 2 and a v_n window
+    # would contaminate real col w_o).  Conditional because the widening
+    # costs ~3% on the ACV flagship shapes that don't need it.
+    v2 = v_n if wp_o >= w_o + 3 else v_n + 1
     # Pad the band to a 128-multiple: Mosaic rejects the window shape casts
     # at lw = 192/160 ("infer-vector-layout: unsupported shape cast",
     # device-probed r4 — lw = 256/384 configs compile).
