@@ -135,10 +135,11 @@ def acv_ddim_inference(
 
 def _pcw_packed_flag() -> bool:
     """All-Pallas packed PCW denoise (pcw_denoise_fast) — same cache-key
-    pattern as the ACV flag."""
+    pattern as the ACV flag.  Default ON since r4 (bench_pcw 2.047 → 2.125
+    pairs/s); DIFFU_PCW_PACKED=0 restores the module path."""
     import os
 
-    return os.environ.get("DIFFU_PCW_PACKED", "0") == "1"
+    return os.environ.get("DIFFU_PCW_PACKED", "1") == "1"
 
 
 @functools.cache

@@ -273,8 +273,20 @@ class PCWNet(nn.Module):
     def build_cost_volume(self, left, right, train: bool = False):
         """Returns ``(combine_volume, cost0, features_left, features_right)``:
         the multi-scale fused volume that the diffusion latent multiplies."""
-        fl = self.feature_extraction(left, train)
-        fr = self.feature_extraction(right, train)
+        if not train:
+            # Eval: one 2B trunk pass for both views (exact per-sample —
+            # BN runs on stored statistics; same trick as the IGEV encode,
+            # which measured it at half the trunk dispatch count).  Train
+            # keeps separate calls for reference BN-batch-stat parity.
+            b = left.shape[0]
+            feat = self.feature_extraction(
+                jnp.concatenate([left, right], axis=0), train
+            )
+            fl = {k: v[:b] for k, v in feat.items()}
+            fr = {k: v[b:] for k, v in feat.items()}
+        else:
+            fl = self.feature_extraction(left, train)
+            fr = self.feature_extraction(right, train)
         md = self.max_disp
 
         def vol(scale_key, concat_key, d):

@@ -72,33 +72,43 @@ def main(argv=None):
         jnp.abs(rnd(3, (b, h4, w4), jnp.float32)) * 15.0, cfg.num_bins, cfg.scale
     )
 
-    def _denoise(vol, latent, t):
-        # vol passed explicitly: a closure capture would shadow the jitted
-        # arg and pin the first value as a constant (see trace_acv note).
+    import os
+
+    use_fast = os.environ.get("DIFFU_PCW_PACKED", "0") == "1"
+    if use_fast:
+        from diffuvolume_tpu.models.pcw import pcw_denoise_fast
+
+    def _denoise(vs, vol, latent, t):
+        # vs/vol passed explicitly: closure-captured variables were baked
+        # into the executable as constants — the PCW scan's TpuExecutable
+        # hit 3.1 GB and the relay's 2 GiB proto limit (r4).
+        if use_fast:
+            return pcw_denoise_fast(model, vs, vol, fl, fr, latent, t,
+                                    (h, w))
         return model.apply(
-            variables, vol, fl, fr, latent, t, (h, w),
-            method=PCWNet.denoise,
+            vs, vol, fl, fr, latent, t, (h, w), method=PCWNet.denoise,
         )
 
     if args.denoise_only:
         @jax.jit
-        def run(vol, latent, t):
-            return _denoise(vol, latent, t)
+        def run(vs, vol, latent, t):
+            return _denoise(vs, vol, latent, t)
 
-        fn_args = lambda: (combine, baseline_latent, jnp.zeros((b,), jnp.int32))
+        fn_args = lambda: (variables, combine, baseline_latent,
+                           jnp.zeros((b,), jnp.int32))
         denom = 1
     else:
         @jax.jit
-        def run(vol, baseline_disp, baseline_latent, key):
+        def run(vs, vol, baseline_disp, baseline_latent, key):
             final, _ = ddim_sample(
                 sched, cfg,
-                lambda latent, t: _denoise(vol, latent, t),
+                lambda latent, t: _denoise(vs, vol, latent, t),
                 baseline_disp, baseline_latent, key,
             )
             return final
 
-        fn_args = lambda: (combine, baseline_disp, baseline_latent,
-                           jax.random.PRNGKey(7))
+        fn_args = lambda: (variables, combine, baseline_disp,
+                           baseline_latent, jax.random.PRNGKey(7))
         denom = args.steps
 
     t0 = time.perf_counter()
