@@ -22,8 +22,38 @@ Design (TPU-first, not a translation):
     slice ``flat[dy·Wp + dx :][:M]`` of one flattened ``(rows, 128)`` window —
     no per-tap reshapes.  Row wrap-around only contaminates the padded output
     columns, which are dropped on the host.
-  * **Fused epilogue**: bias-add (tiled across phases) and ReLU run on the
-    f32 accumulator in VMEM; inference BatchNorm can be folded by the caller.
+  * **Fused epilogue**: bias-add (tiled across phases) and activation
+    (ReLU / LeakyReLU / Mish) run on the f32 accumulator in VMEM; inference
+    BatchNorm is folded by the caller; an optional ``post_mul`` operand
+    applies a broadcast-over-D attention map (tile_packed_mul).
+
+Round-4 device measurements (v5e, per call at the 512×960 ACV bench shapes
+unless noted; full-program DDIM-scan trace, ÷5 steps):
+
+  * conv3d_fold_p (48,128,240,32) th=8: 1.79 ms — at its r3 standalone
+    number INSIDE lax.scan (no in-loop serialization; the r3 "42 µs/tile"
+    was the strided-gather cost below, not scheduling).
+  * conv3d_fold_s2 full-res: 9.53 → 1.47 ms after the lane-merge rewrite —
+    the original per-tap parity views ``[.., 2, lw][:, :, 0]`` were
+    sublane-STRIDED gathers (~1.8 MB strided copies/tile).  The rewrite
+    pads the band to a 128-multiple, merges column pairs into lanes
+    (aligned reshape), and taps become flat-row shifts + aligned lane
+    slices.
+  * conv3d_fold_up half→full: 1.58 → 1.02 ms with the same flat-shift
+    discipline + lane-concat column interleave + outer-dim row interleave.
+  * conv3d_fold_x2: 3.24 ms (matched budget from day one).
+  * pack_padded_k with the fused noise multiply: 1.14 ms, replacing the
+    0.85 pack + 1.15 XLA broadcast-multiply pair.
+  * Whole packed ACV denoise step: 56 → 31.7 ms measured (module path 49);
+    flagship bench 2.59 → 3.45 pairs/s.
+
+Mosaic constraints learned (all device-compile-only failures — local
+``.lower()`` does NOT catch them): no zero-size vectors; ``[..., None]``
+minor-dim inserts only on 32-bit types; rotate only on 32-bit; reshapes
+merging a non-128-multiple lane dim need 8-aligned sublane counts (pad the
+band); output-block lane dims must be ≥128 or full; default scoped-VMEM
+budget is 16 MB (vmem_limit_bytes pins 64 MB here — fold_s2 th=8 measured
+16.18M and compiled-or-OOMed depending on scheduling noise).
 """
 
 from __future__ import annotations

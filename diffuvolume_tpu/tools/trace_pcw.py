@@ -78,36 +78,38 @@ def main(argv=None):
     if use_fast:
         from diffuvolume_tpu.models.pcw import pcw_denoise_fast
 
-    def _denoise(vs, vol, latent, t):
-        # vs/vol passed explicitly: closure-captured variables were baked
-        # into the executable as constants — the PCW scan's TpuExecutable
-        # hit 3.1 GB and the relay's 2 GiB proto limit (r4).
+    def _denoise(vs, vol, fl_, fr_, latent, t):
+        # EVERY concrete array is an explicit jit arg.  Closure-captured
+        # fl/fr were baked in as constants and XLA constant-folded the
+        # full-res upsampled refine feature through the 49 shifted slices
+        # of the signed-correlation volume — a 3.1 GB HLO module vs the
+        # relay's 2 GiB proto limit (r4).
         if use_fast:
-            return pcw_denoise_fast(model, vs, vol, fl, fr, latent, t,
+            return pcw_denoise_fast(model, vs, vol, fl_, fr_, latent, t,
                                     (h, w))
         return model.apply(
-            vs, vol, fl, fr, latent, t, (h, w), method=PCWNet.denoise,
+            vs, vol, fl_, fr_, latent, t, (h, w), method=PCWNet.denoise,
         )
 
     if args.denoise_only:
         @jax.jit
-        def run(vs, vol, latent, t):
-            return _denoise(vs, vol, latent, t)
+        def run(vs, vol, fl_, fr_, latent, t):
+            return _denoise(vs, vol, fl_, fr_, latent, t)
 
-        fn_args = lambda: (variables, combine, baseline_latent,
+        fn_args = lambda: (variables, combine, fl, fr, baseline_latent,
                            jnp.zeros((b,), jnp.int32))
         denom = 1
     else:
         @jax.jit
-        def run(vs, vol, baseline_disp, baseline_latent, key):
+        def run(vs, vol, fl_, fr_, baseline_disp, baseline_latent, key):
             final, _ = ddim_sample(
                 sched, cfg,
-                lambda latent, t: _denoise(vs, vol, latent, t),
+                lambda latent, t: _denoise(vs, vol, fl_, fr_, latent, t),
                 baseline_disp, baseline_latent, key,
             )
             return final
 
-        fn_args = lambda: (variables, combine, baseline_disp,
+        fn_args = lambda: (variables, combine, fl, fr, baseline_disp,
                            baseline_latent, jax.random.PRNGKey(7))
         denom = args.steps
 
