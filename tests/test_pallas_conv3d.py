@@ -209,6 +209,26 @@ def test_unfold_conv2d_matches_xla(k, s, p, ci, co, bias):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("c,co,d", [(128, 128, 1), (128, 96, 2), (96, 96, 8),
+                                    (64, 64, 16), (146, 128, 1), (32, 1, 1)])
+def test_conv2d_flat_matches_xla(c, co, d):
+    """Flat-shift 2-D dilated conv kernel == XLA oracle (parked experiment —
+    see ops/pallas/conv2d.py's measured verdict; parity locked anyway)."""
+    from diffuvolume_tpu.ops.pallas.conv2d import conv2d_flat
+
+    rng = np.random.default_rng(11)
+    h, w = 16, 20
+    x = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, c, co)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(d, d)] * 2, rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = conv2d_flat(x, k, b, dilation=d, tile_h=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("ci,bias", [(1, False), (3, True), (4, True)])
 def test_s2d_conv2d_matches_xla(ci, bias):
     """Space-to-depth entry conv (k=3 s=2 p=1) == XLA conv, C=1..4."""
