@@ -123,10 +123,10 @@ class EntryConv(nn.Module):
     layout friction exceed the conv's own waste), so it defaults OFF and
     stays as a documented A/B.
 
-    The space-to-depth variant (k=3 s=2 p=1 only — s2d_conv2d) instead
-    measured a small WIN (r4 A/B: IGEV 4.860 → 4.887; it widens the
-    contraction 27 → 48 useful lanes without the patch concat) and
-    defaults ON at TPU eval; DIFFU_ENTRY_S2D=0 restores the XLA conv.
+    The space-to-depth variant (k=3 s=2 p=1 only — s2d_conv2d) measured a
+    small win pre-packed-tower (r4: IGEV 4.860 → 4.887) but REGRESSES with
+    the packed GEV tower on (5.17 → 5.02 — the encode's layout context
+    changed under it), so it also defaults OFF; DIFFU_ENTRY_S2D=1 to A/B.
     """
 
     features: int
@@ -166,7 +166,7 @@ class EntryConv(nn.Module):
             and k == 3 and s == 2 and p == 1
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
             and is_tpu_lowering()
-            and os.environ.get("DIFFU_ENTRY_S2D", "1") == "1"
+            and os.environ.get("DIFFU_ENTRY_S2D", "0") == "1"
         )
         if s2d:
             from diffuvolume_tpu.ops.entry_conv import s2d_conv2d
