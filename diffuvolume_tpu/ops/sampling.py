@@ -63,6 +63,8 @@ def hat_sample_last2(vol: jax.Array, x0: jax.Array) -> jax.Array:
     Returns:
       ``(B, H, W, J, C)``.
     """
+    import os
+
     d = vol.shape[-2]
     bins = jnp.arange(d, dtype=x0.dtype)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(x0[..., None] - bins))  # (B,H,W,J,D)
@@ -73,8 +75,15 @@ def hat_sample_last2(vol: jax.Array, x0: jax.Array) -> jax.Array:
         # f32 COPY of the whole volume in HBM every GRU iteration (seen in the
         # device trace as convert fusions feeding the C=1 corr contraction) —
         # native bf16 in/out keeps the scan-resident arrays half-width.
-        return jnp.einsum("bhwjd,bhwdc->bhwjc", w.astype(jnp.bfloat16), vol)
-    return jnp.einsum("bhwjd,bhwdc->bhwjc", w, vol.astype(w.dtype))
+        w = w.astype(jnp.bfloat16)
+    else:
+        vol = vol.astype(w.dtype)
+    if vol.shape[-1] == 1 and os.environ.get("DIFFU_HAT_C1", "0") == "1":
+        # A/B: the C=1 (corr band) case as mul+reduce instead of dot_general.
+        # Measured r4: bench_igev 5.170 → 5.112 — WORSE; the dot form stays
+        # the default (kept as a wired A/B).
+        return jnp.einsum("bhwjd,bhwd->bhwj", w, vol[..., 0])[..., None]
+    return jnp.einsum("bhwjd,bhwdc->bhwjc", w, vol)
 
 
 def stereo_bilinear_sample(volume: jax.Array, x_coords: jax.Array) -> jax.Array:
