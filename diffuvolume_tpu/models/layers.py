@@ -151,7 +151,15 @@ class EntryConv(nn.Module):
             and c_in <= 4
             and s in (1, 2)
             and is_tpu_lowering()
-            and os.environ.get("DIFFU_ENTRY_CONV", "0") == "1"
+            and (
+                os.environ.get("DIFFU_ENTRY_CONV", "0") == "1"
+                # k=7-only gate: the cnet conv1 (7×7 s1) drags ~1.8 ms of
+                # layout formatting behind it per encode; A/B separately
+                # from the 3×3 stems.  Measured r4: 5.1688 vs 5.1698 — a
+                # wash; stays a wired A/B, default off.
+                or (k == 7
+                    and os.environ.get("DIFFU_ENTRY_CONV7", "0") == "1")
+            )
         )
         kernel = self.param("kernel", init, (k, k, c_in, self.features))
         bias = (
