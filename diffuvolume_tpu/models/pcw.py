@@ -541,7 +541,15 @@ def pcw_denoise_fast(
         cost3, model.max_disp, out_hw, align_corners=True,
         interpret=interpret or None,
     )
-    disp_finetune = model.apply(variables, pred3, fl, fr, out_hw, False,
+    pred3_r = pred3
+    if os.environ.get("DIFFU_PCW_BARRIER", "0") == "1":
+        # A/B: decouple the refinement convs from the fused-head custom call
+        # (the r3 ACV poison class: XLA convs adjacent to custom-calls pick
+        # degraded strategies; refine's 8 full-res convs run 5.4 ms
+        # in-program vs 3.5 standalone).  Measured r4: 2.1311 vs 2.1315 —
+        # NO effect; the inflation is not barrier-breakable fusion context.
+        pred3_r = jax.lax.optimization_barrier(pred3)
+    disp_finetune = model.apply(variables, pred3_r, fl, fr, out_hw, False,
                                 method=PCWNet.refine)
     if os.environ.get("DIFFU_PCW_APPROX_UNC", "0") != "1":
         unc3 = fused_uncertainty_at(
