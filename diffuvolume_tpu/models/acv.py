@@ -379,6 +379,8 @@ def acv_denoise_fast(
     # VMEM); with the r4 vmem_limit_bytes raise th=8 compiles, shares the
     # hourglass geometry (no retile pair), and runs the entry fold_p chain
     # at the wider tile.  DIFFU_ACV_TH overrides for A/B (trace-time read).
+    # th=16 measured WORSE (bench 3.448 → 3.336 — bigger tiles lose to
+    # VMEM pressure/pipelining); 8 stays the default.
     import os
 
     th = int(os.environ.get("DIFFU_ACV_TH", "8"))
@@ -424,7 +426,7 @@ def acv_denoise_fast(
     # between, nothing to poison).  conv3d_fold_s2 at th=8 sits 184 KB over
     # the default 16 MB scoped-VMEM budget — the fold kernels raise it via
     # CompilerParams(vmem_limit_bytes) instead (ops/pallas/conv3d.py).
-    th_hg = 8 if h4 % 8 == 0 else th
+    th_hg = th if th >= 8 and h4 % th == 0 else (8 if h4 % 8 == 0 else th)
     if th_hg != th:
         pk_c0 = pack(unpack(pk_c0, d, h4, w4, 32, th), th_hg)
     pk_o1 = _hourglass_packed(model, variables, "dres2", pk_c0, d, h4, w4,
