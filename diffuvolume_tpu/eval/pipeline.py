@@ -42,17 +42,50 @@ def _acv_packed_flag() -> bool:
     return os.environ.get("DIFFU_ACV_PACKED", "1") == "1"
 
 
-@functools.cache
-def _stages(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig,
-            packed: bool = False):
-    sched = make_schedule(1000)
+def _acv_prep_fn(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig,
+                 sample_packed: bool = True):
+    """The pass-1/prep body (uncompiled): baseline forward + conditioning
+    encode + the DDIM model's volume build.  Shared by _stages and
+    tools/trace_prep; the packed dispatch (DIFFU_ACV_PREP_PACKED) lives here.
 
-    @jax.jit
+    With the packed prep, "ac_volume" in the return is the ``(cl, cr, att)``
+    feature triple (the packed sampler consumes it via pack_concat_k and the
+    94 MB volume never exists); when the SAMPLE stage runs the module path
+    (``sample_packed=False``) the volume is reconstructed here instead.
+    """
+
     def prep(baseline_vars, ddim_vars, left, right):
+        from diffuvolume_tpu.models.acv import acv_prep_fast
+        from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
         h4, w4 = left.shape[1] // 4, left.shape[2] // 4
-        baseline_disp = baseline_model.apply(
-            baseline_vars, left, right, train=False
-        )[-1]
+        fast = (
+            _acv_prep_packed_flag()
+            and is_tpu_lowering()
+            and "batch_stats" in ddim_vars
+            and "batch_stats" in baseline_vars
+            and h4 % 8 == 0
+            and w4 % 4 == 0
+        )
+        if fast:
+            baseline_disp, ac_volume = acv_prep_fast(
+                baseline_model, ddim_model, baseline_vars, ddim_vars,
+                left, right,
+            )
+            if not sample_packed:
+                from diffuvolume_tpu.ops.cost_volume import build_concat_volume
+
+                cl, cr, att = ac_volume
+                ac_volume = att[..., None] * build_concat_volume(
+                    cl, cr, cfg.num_bins)
+        else:
+            baseline_disp = baseline_model.apply(
+                baseline_vars, left, right, train=False
+            )[-1]
+            ac_volume, _ = ddim_model.apply(
+                ddim_vars, left, right, train=False,
+                method=ACVNet.build_cost_volume,
+            )
         # Conditioning: clamp → bilinear ↓4 → /4 (test_sceneflow_ddim.py:103-106).
         disp_q = (
             resize_bilinear(
@@ -61,10 +94,26 @@ def _stages(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig,
             / 4.0
         )
         baseline_latent = encode_disparity_volume(disp_q, cfg.num_bins, cfg.scale)
-        ac_volume, _ = ddim_model.apply(
-            ddim_vars, left, right, train=False, method=ACVNet.build_cost_volume
-        )
         return baseline_disp, baseline_latent, ac_volume
+
+    return prep
+
+
+def _acv_prep_packed_flag() -> bool:
+    """Packed pass-1/prep (acv_prep_fast) — trace-time read; _stages keys the
+    jit cache on it via _acv_packed_flag-style plumbing in the caller."""
+    import os
+
+    return os.environ.get("DIFFU_ACV_PREP_PACKED", "1") == "1"
+
+
+@functools.cache
+def _stages(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig,
+            packed: bool = False, prep_packed: bool = False):
+    sched = make_schedule(1000)
+
+    prep = jax.jit(_acv_prep_fn(baseline_model, ddim_model, cfg,
+                                sample_packed=packed))
 
     @jax.jit
     def sample(ddim_vars, ac_volume, baseline_disp, baseline_latent, rng):
@@ -125,7 +174,8 @@ def acv_ddim_inference(
     Returns:
       ``(final_disp (B,H,W), baseline_disp (B,H,W))``.
     """
-    prep, sample = _stages(baseline_model, ddim_model, cfg, _acv_packed_flag())
+    prep, sample = _stages(baseline_model, ddim_model, cfg, _acv_packed_flag(),
+                           _acv_prep_packed_flag())
     baseline_disp, baseline_latent, ac_volume = prep(
         baseline_vars, ddim_vars, left, right
     )
@@ -282,12 +332,15 @@ def _igev_stages(baseline_model, ddim_model, cfg: DDIMConfig, iters: int,
         # new latent (the reference re-uses its precomputed geo_fn the same
         # way, igev_stereo_ddim.py:401-427).
         # Quirk mode carries coords1 seeded with init_disp (a disparity
-        # field, not the pixel-index grid) across DDIM steps; the band
-        # lookup's anchor assumes pixel-index coords, so force the exact
-        # all-pairs "volume" representation on the parity path.
+        # field, not the pixel-index grid) across DDIM steps; the diagonal
+        # band's anchor assumes pixel-index coords, but the quirk's sample
+        # positions are the CONSTANT init_disp·2⁻ⁱ + dx ∈ [0, 52] — the
+        # "lowband" representation (first 64 correlation columns, absolute
+        # positions) is exact there and replaces the r2-r4 all-pairs
+        # "volume" fallback (equivalence-tested in test_igev_model.py).
         enc, pyramid = igev_encode(
             ddim_model, ddim_vars, left, right, train=False,
-            corr_mode="volume" if quirk else corr_mode,
+            corr_mode="lowband" if quirk else corr_mode,
         )
 
         def embed(latent, t):

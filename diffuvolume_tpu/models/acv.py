@@ -356,41 +356,52 @@ def _hourglass_packed(model, variables, name, pk_in, d, h4, w4, th,
                           interpret=interpret)
 
 
-def acv_denoise_fast(
+def _acv_tile_h(h4: int) -> int:
+    """Entry-chain tile height.  th=4 was forced in r3 (the cross-packing
+    64→32 kernel's 12-ref + 512-lane window blew the then-16 MB scoped
+    VMEM); with the r4 vmem_limit_bytes raise th=8 compiles, shares the
+    hourglass geometry (no retile pair), and runs the entry fold_p chain
+    at the wider tile.  DIFFU_ACV_TH overrides for A/B (trace-time read).
+    th=16 measured WORSE (bench 3.448 → 3.336 — bigger tiles lose to
+    VMEM pressure/pipelining); 8 stays the default."""
+    import os
+
+    th = int(os.environ.get("DIFFU_ACV_TH", "8"))
+    return 4 if h4 % th else th
+
+
+def _aggregate_packed(
     model: ACVNet,
     variables,
-    ac_volume: jax.Array,
-    latent: jax.Array,
-    t: jax.Array,
+    entry,
     out_hw: tuple[int, int],
+    noise: jax.Array | None = None,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """ACVNet.denoise with packed conv chains — numerically equal (BN folded
-    in f32; conv kernel parity ~1e-4) — eval only."""
+) -> tuple[jax.Array, jax.Array]:
+    """The full packed aggregation pass: (noise ⊙) ac_volume → dres chain →
+    hourglasses → classif2 → fused head.  Shared by the DDIM denoise step
+    (noise ≠ None) and the frozen-baseline eval forward (noise = None; the
+    blocks are byte-identical module types, acv.py:168-260 ≡ acv_ddim.py's
+    aggregation).  Returns (disp, uncertainty) at ``out_hw``.
+
+    ``entry``: either the materialized ``(B, D, H4, W4, 2cc)`` ac_volume, or
+    a ``(cl, cr, att)`` feature triple — then the concat volume is never
+    materialized: pack_concat_k builds+multiplies+packs in one pass (r5).
+    """
     from diffuvolume_tpu.ops.pallas.conv3d import (
-        conv3d_fold_p, conv3d_fold_x2, pack_padded_k, unpack_padded_k,
+        conv3d_fold_p, conv3d_fold_x2, pack_concat_k, pack_padded_k,
+        unpack_padded_k,
     )
     from diffuvolume_tpu.ops.pallas.fused_head import fused_upsample_softargmin
 
     dt = model.dtype
-    b, d, h4, w4, _ = ac_volume.shape
-    # Entry-chain tile height.  th=4 was forced in r3 (the cross-packing
-    # 64→32 kernel's 12-ref + 512-lane window blew the then-16 MB scoped
-    # VMEM); with the r4 vmem_limit_bytes raise th=8 compiles, shares the
-    # hourglass geometry (no retile pair), and runs the entry fold_p chain
-    # at the wider tile.  DIFFU_ACV_TH overrides for A/B (trace-time read).
-    # th=16 measured WORSE (bench 3.448 → 3.336 — bigger tiles lose to
-    # VMEM pressure/pipelining); 8 stays the default.
-    import os
-
-    th = int(os.environ.get("DIFFU_ACV_TH", "8"))
-    if h4 % th:
-        th = 4
-
-    noise = model.apply(variables, latent, t,
-                        method=lambda m, l, tt: m.time_embedding(l, tt))
-    noise = jnp.clip(noise, -model.scale, model.scale)
-    noise = (noise / model.scale + 1.0) / 2.0
+    if isinstance(entry, tuple):
+        cl, cr, att = entry
+        b, h4, w4, _ = cl.shape
+        d = model.max_disp // 4
+    else:
+        b, d, h4, w4, _ = entry.shape
+    th = _acv_tile_h(h4)
 
     def pack(x, t):
         return pack_padded_k(x, t, interpret=interpret)
@@ -404,8 +415,14 @@ def acv_denoise_fast(
     k00, b00 = _fold_convbn_params(variables, "dres0_0")
     # Noise multiply fused into the pack (saves the 190 MB XLA broadcast-
     # multiply round trip, ~1.15 ms/step measured r4).
-    pk64 = pack_padded_k(ac_volume, th, interpret=interpret,
-                         noise=noise.astype(ac_volume.dtype))
+    if isinstance(entry, tuple):
+        pk64 = pack_concat_k(cl, cr, att, noise, max_disp=d, tile_h=th,
+                             interpret=interpret)
+    else:
+        pk64 = pack_padded_k(
+            entry, th, interpret=interpret,
+            noise=None if noise is None else noise.astype(entry.dtype),
+        )
     pk = conv3d_fold_x2(pk64, k00.astype(dt), b00, relu=True,
                         w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
     k01, b01 = _fold_convbn_params(variables, "dres0_1")
@@ -419,13 +436,12 @@ def acv_denoise_fast(
                           residual=pk_y, w_real=w4, h_real=h4, tile_h=th,
                           interpret=interpret)
     # Hourglasses fully packed (no XLA conv remains in the step).  The
-    # entry chain runs at th=4 (the x2 kernel's VMEM bound); the hourglass
-    # MUST run th=8: conv3d_fold_p's 2-row halos need tile_h ≥ 2 at quarter
-    # res (th=4 → th4=1 mis-slices the halo reads — r4 measured, not just
-    # theory).  Retile via the Pallas unpack/pack pair (no XLA op in
-    # between, nothing to poison).  conv3d_fold_s2 at th=8 sits 184 KB over
-    # the default 16 MB scoped-VMEM budget — the fold kernels raise it via
-    # CompilerParams(vmem_limit_bytes) instead (ops/pallas/conv3d.py).
+    # hourglass MUST run th≥8: conv3d_fold_p's 2-row halos need tile_h ≥ 2
+    # at quarter res (th=4 → th4=1 mis-slices the halo reads — r4 measured,
+    # not just theory).  Retile via the Pallas unpack/pack pair (no XLA op
+    # in between, nothing to poison).  conv3d_fold_s2 at th=8 sits 184 KB
+    # over the default 16 MB scoped-VMEM budget — the fold kernels raise it
+    # via CompilerParams(vmem_limit_bytes) instead (ops/pallas/conv3d.py).
     th_hg = th if th >= 8 and h4 % th == 0 else (8 if h4 % 8 == 0 else th)
     if th_hg != th:
         pk_c0 = pack(unpack(pk_c0, d, h4, w4, 32, th), th_hg)
@@ -447,4 +463,188 @@ def acv_denoise_fast(
         cost.astype(jnp.float32), model.max_disp, out_hw,
         interpret=interpret or None,
     )
+    return disp, unc
+
+
+def acv_denoise_fast(
+    model: ACVNet,
+    variables,
+    entry,
+    latent: jax.Array,
+    t: jax.Array,
+    out_hw: tuple[int, int],
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """ACVNet.denoise with packed conv chains — numerically equal (BN folded
+    in f32; conv kernel parity ~1e-4) — eval only.  ``entry``: ac_volume or
+    the (cl, cr, att) triple from acv_prep_fast (see _aggregate_packed)."""
+    noise = model.apply(variables, latent, t,
+                        method=lambda m, l, tt: m.time_embedding(l, tt))
+    noise = jnp.clip(noise, -model.scale, model.scale)
+    noise = (noise / model.scale + 1.0) / 2.0
+    disp, unc = _aggregate_packed(model, variables, entry, out_hw,
+                                  noise=noise, interpret=interpret)
     return disp, unc, noise.astype(jnp.float32)
+
+
+def _patch_lane_weights(variables, num_groups: int = 40, c_slot: int = 64):
+    """Patch-conv kernels laid out on packed lanes for depthwise_hw_p.
+
+    Returns ``(w_patch (1,3,3,128), w_l123 (3,3,3,128))`` f32: the all-groups
+    dilation-1 `patch` conv, and the per-slice dilation-1/2/3 `patch_l1/2/3`
+    convs (acv_ddim.py:181-188), each channel placed at lane ``φ·c_slot + c``
+    for both phases φ of the 2-cell packing.
+    """
+    p = 128 // c_slot
+
+    def k33(name):
+        # ConvBN(groups=ch, use_bn=False): flax kernel (1, 3, 3, 1, ch).
+        return variables["params"][name]["conv"]["kernel"][0, :, :, 0, :].astype(
+            jnp.float32
+        )
+
+    w_patch = jnp.zeros((1, 3, 3, 128), jnp.float32)
+    kp = k33("patch")
+    for phi in range(p):
+        w_patch = w_patch.at[
+            0, :, :, phi * c_slot : phi * c_slot + num_groups
+        ].set(kp)
+    w_l = jnp.zeros((3, 3, 3, 128), jnp.float32)
+    for gi, (name, lo, hi) in enumerate(
+        (("patch_l1", 0, 8), ("patch_l2", 8, 24), ("patch_l3", 24, 40))
+    ):
+        kk = k33(name)
+        for phi in range(p):
+            w_l = w_l.at[
+                gi, :, :, phi * c_slot + lo : phi * c_slot + hi
+            ].set(kk)
+    return w_patch, w_l
+
+
+def _attention_volume_packed(
+    model: ACVNet,
+    variables,
+    left: jax.Array,
+    right: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """build_cost_volume with the attention chain on packed kernels (eval).
+
+    Feature trunk, gwc build, and the depthwise patch convs stay XLA (2-D
+    convs / elementwise).  From dres1_att_0 onward every 3×3×3 conv runs in
+    the packed geometry: the 40-ch patch volume enters the cross-packing x2
+    kernel via pack_padded_k(c_slot=64) (zero lane-fill in-kernel; the x2
+    weights zero-pad 40→64 — exact), then fold_p / packed hourglass / co=1
+    head.  Returns the ``(cl, cr, att)`` triple — concat features + the
+    softmaxed attention — for pack_concat_k consumers; ``att[..., None] *
+    build_concat_volume(cl, cr, D)`` reconstructs the reference's ac_volume
+    (acv_ddim.py:181-197,375-390).
+
+    DIFFU_ACV_PREP_B2=1 batches left+right through one 2B trunk call
+    (exact at eval: BN running stats).  Measured r5: the batched form LOST
+    ~9 ms/prep (2D conv per-op cost up 2.26× and extractor data-formatting
+    3.4 → 9.4 ms — the post-trunk slice forces relayouts), default off.
+    """
+    import os
+
+    from diffuvolume_tpu.ops.cost_volume import build_gwc_volume
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        conv3d_fold_p, conv3d_fold_x2, pack_padded_k, unpack_padded_k,
+    )
+
+    dt = model.dtype
+    b = left.shape[0]
+    d = model.max_disp // 4
+    h4, w4 = left.shape[1] // 4, left.shape[2] // 4
+    th = 8 if h4 % 8 == 0 else _acv_tile_h(h4)
+
+    if os.environ.get("DIFFU_ACV_PREP_B2", "0") == "1":
+        feats = model.apply(
+            variables, jnp.concatenate([left, right], axis=0),
+            method=lambda m, x: m.feature_extraction(x, False),
+        )
+        feat_l, feat_r = feats[:b], feats[b:]
+    else:
+        feat_l = model.apply(
+            variables, left, method=lambda m, x: m.feature_extraction(x, False))
+        feat_r = model.apply(
+            variables, right, method=lambda m, x: m.feature_extraction(x, False))
+
+    gwc = build_gwc_volume(feat_l, feat_r, d, model.num_groups)
+
+    wp = -(-(w4 + 2) // 8) * 8
+    if wp - w4 - 1 >= 3:
+        # Patch convs as packed per-lane stencils (depthwise_hw_p): XLA's
+        # depthwise lowering collapsed to 27.6 ms/prep once its consumer was
+        # a custom-call (r5 trace); the packed form is ~2 ms of VPU FMAs.
+        from diffuvolume_tpu.ops.pallas.conv3d import depthwise_hw_p
+
+        w_patch, w_l123 = _patch_lane_weights(variables, model.num_groups)
+        pk_g = pack_padded_k(gwc, th, interpret=interpret, c_slot=64)
+        pk_g = depthwise_hw_p(pk_g, w_patch, (1,), w_real=w4, h_real=h4,
+                              tile_h=th, interpret=interpret)
+        pk64 = depthwise_hw_p(pk_g, w_l123, (1, 2, 3), w_real=w4, h_real=h4,
+                              tile_h=th, interpret=interpret)
+    else:
+        def patch_fn(m, g):
+            g = m.patch(g, False)
+            p1 = m.patch_l1(g[..., :8], False)
+            p2 = m.patch_l2(g[..., 8:24], False)
+            p3 = m.patch_l3(g[..., 24:40], False)
+            return jnp.concatenate([p1, p2, p3], axis=-1)
+
+        patch_volume = model.apply(variables, gwc, method=patch_fn)
+        pk64 = pack_padded_k(patch_volume, th, interpret=interpret, c_slot=64)
+
+    # dres1_att_0's (3,3,3,40,32) kernel zero-pads to (3,3,3,64,32) to match
+    # the 64-lane slots — numerically identical.
+    ka0, ba0 = _fold_convbn_params(variables, "dres1_att_0")
+    ka0 = jnp.pad(ka0, ((0, 0),) * 3 + ((0, 24), (0, 0)))
+    pk_a = conv3d_fold_x2(pk64, ka0.astype(dt), ba0, relu=True,
+                          w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
+    ka1, ba1 = _fold_convbn_params(variables, "dres1_att_1")
+    pk_a = conv3d_fold_p(pk_a, ka1.astype(dt), ba1, relu=False,
+                         w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
+    pk_a = _hourglass_packed(model, variables, "dres2_att_", pk_a, d, h4, w4,
+                             th, interpret)
+    kc0, bc0 = _fold_convbn_params(variables, "classif_att_0")
+    pk_a = conv3d_fold_p(pk_a, kc0.astype(dt), bc0, relu=True,
+                         w_real=w4, h_real=h4, tile_h=th, interpret=interpret)
+    k_head = variables["params"]["classif_att_1"]["kernel"]
+    pk_a = conv3d_fold_p(pk_a, k_head.astype(dt), w_real=w4, h_real=h4,
+                         tile_h=th, interpret=interpret)
+    att_weights = unpack_padded_k(pk_a, d, h4, w4, 1, th,
+                                  interpret=interpret)
+
+    def concat_fn(m, f):
+        return m.concatconv1(m.concatconv0(f, False))
+
+    cl = model.apply(variables, feat_l, method=concat_fn)
+    cr = model.apply(variables, feat_r, method=concat_fn)
+    att = jax.nn.softmax(
+        att_weights[..., 0].astype(jnp.float32), axis=1
+    ).astype(dt)
+    return cl, cr, att
+
+
+def acv_prep_fast(baseline_model, ddim_model, baseline_vars, ddim_vars,
+                  left, right, interpret: bool = False):
+    """Packed pass-1/prep: the frozen ACVNet baseline forward and the DDIM
+    model's attention-weighted volume build, with every 3×3×3 conv chain on
+    the packed kernel family (r5; the r4 verdict's largest unharvested pool
+    — ~130 ms/pair of unpacked XLA running the exact blocks the packed
+    denoise already accelerates 49→32 ms).  Eval only, BN folded.
+
+    Returns ``(baseline_disp (B,H,W), (cl, cr, att))`` — the DDIM model's
+    concat features + softmaxed attention; the sampler's packed denoise
+    consumes the triple directly (pack_concat_k), so the 94 MB ac_volume is
+    never materialized anywhere in the fast pipeline.
+    """
+    out_hw = (left.shape[1], left.shape[2])
+    entry_base = _attention_volume_packed(
+        baseline_model, baseline_vars, left, right, interpret=interpret)
+    baseline_disp, _ = _aggregate_packed(
+        baseline_model, baseline_vars, entry_base, out_hw, interpret=interpret)
+    entry_ddim = _attention_volume_packed(
+        ddim_model, ddim_vars, left, right, interpret=interpret)
+    return baseline_disp, entry_ddim

@@ -61,6 +61,7 @@ class GeoPyramid(NamedTuple):
     match_r_levels: tuple[jax.Array, ...] = ()  # each (B, H, W2/2^i, C) [rsamp mode]
     band_levels: tuple[jax.Array, ...] = ()  # each (B, H, W, band) [band mode]
     band_offs: tuple[int, ...] = ()          # per-level band offset
+    band_mode: str = "diag"  # "diag" (anchored at ⌊w·2⁻ⁱ⌋) | "low" (absolute)
 
 
 def all_pairs_correlation(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
@@ -170,6 +171,35 @@ def build_geo_pyramid(
     if corr_mode is None:
         corr_mode = os.environ.get(
             "DIFFU_CORR_MODE", "rsamp" if os.environ.get("DIFFU_CORR_RSAMP") else "volume"
+        )
+    if corr_mode == "lowband":
+        # Absolute low-column band (r5, for the reference-faithful "quirk"
+        # eval): the quirk rollout samples the correlation at the CONSTANT
+        # position init_disp·2⁻ⁱ + dx (coords1 − flow = init_disp,
+        # igev_stereo_ddim.py:243-247), so every sample lands in columns
+        # [−5, maxdisp/4 + r + 1] ⊂ [0, band) — only the first `band`
+        # columns of the all-pairs matrix are ever touched.  Build just
+        # those with a narrow einsum (W×band instead of W×W2) and sample
+        # with absolute positions (band_mode="low"); exact-equivalence to
+        # volume mode whenever positions ≤ band − 2 (47·2⁻ⁱ + 5 ≤ 54 here).
+        vmax = match_right.shape[2]
+        bw = min(band, vmax)
+        corr = jnp.einsum(
+            "bhwc,bhvc->bhwv", match_left, match_right[:, :, :bw]
+        )
+        levels = [corr]
+        for _ in range(num_levels - 1):
+            prev = levels[-1]
+            v2 = prev.shape[-1] // 2
+            levels.append(
+                prev[..., : 2 * v2].reshape(*prev.shape[:-1], v2, 2).mean(-1)
+            )
+        return GeoPyramid(
+            geo_levels=geo_levels,
+            corr_levels=(),
+            band_levels=tuple(levels),
+            band_offs=(0,) * num_levels,
+            band_mode="low",
         )
     if corr_mode == "rsamp":
         r_levels = [match_right]
@@ -367,7 +397,14 @@ def geo_lookup(
         geo_out = jnp.einsum("bhwjd,bhwdc->bhwjc", wgt, geo)  # (B,H,W,L*J,C)
 
     corr_out = []
-    if pyramid.band_levels:
+    if pyramid.band_levels and pyramid.band_mode == "low":
+        # Absolute low-column band (quirk eval): positions are the plain
+        # volume-mode coordinates, which provably stay inside the band.
+        for i, bnd in enumerate(pyramid.band_levels):
+            scale = 1.0 / (2 ** i)
+            p = (coords[..., None] - disp[..., None]) * scale + dx
+            corr_out.append(hat_sample_last2(bnd[..., None], p))  # (B,H,W,J,1)
+    elif pyramid.band_levels:
         # Band mode: positions relative to the per-level anchor ⌊w·2⁻ⁱ⌋.  The
         # w-term collapses to the residue fraction (w·s − ⌊w·s⌋), so the hat
         # contraction runs over `band` lanes instead of the full scanline.

@@ -671,10 +671,11 @@ def conv3d_fold_p(
 # repack inside Pallas isolates the neighbors.
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret", "c_slot"))
 def pack_padded_k(x: jax.Array, tile_h: int = 8,
                   interpret: bool = False,
-                  noise: jax.Array | None = None) -> jax.Array:
+                  noise: jax.Array | None = None,
+                  c_slot: int | None = None) -> jax.Array:
     """Pallas-kernel version of pack_padded (same output, no XLA transpose).
 
     Requires ``H % tile_h == 0`` (true at the aggregation shapes).
@@ -683,10 +684,18 @@ def pack_padded_k(x: jax.Array, tile_h: int = 8,
     ``x * noise[..., None]`` without materializing the product in HBM (the
     DDIM denoise entry multiply was a 1.15 ms/step XLA fusion over the 190 MB
     volume; fused here it rides the pack's existing read).
+
+    ``c_slot``: pack C real channels into ``c_slot``-lane slots, zero-filling
+    lanes ``C..c_slot`` (r5: the 40-ch patch volume enters the 64→32 x2
+    kernel without the 2.2 ms/model XLA pad that a host-side 40→64
+    materialization cost — the consumer's kernel is zero-padded to match).
     """
     b, d, h, w, c = x.shape
-    p = 128 // c
-    assert c * p == 128 and d % p == 0, (c, d)
+    if c_slot is None:
+        c_slot = c
+    assert c <= c_slot, (c, c_slot)
+    p = 128 // c_slot
+    assert c_slot * p == 128 and d % p == 0, (c_slot, d)
     th = tile_h
     assert h % th == 0, (h, th)
     n_tiles = h // th
@@ -730,6 +739,10 @@ def pack_padded_k(x: jax.Array, tile_h: int = 8,
         in_specs += [noise_spec(phi) for phi in range(p)]
         inputs += [noise] * p
 
+    def slot(t):
+        # c → c_slot lane slot (zero-fill the pad lanes).
+        return t if c == c_slot else jnp.pad(t, ((0, 0), (0, 0), (0, c_slot - c)))
+
     def body(*args):
         if noise is not None:
             xs, ns = args[:p], args[p:-1]
@@ -738,17 +751,19 @@ def pack_padded_k(x: jax.Array, tile_h: int = 8,
             # ([..., None]) for 32-bit types — cast up, multiply, cast back.
             lanes = jnp.concatenate(
                 [
-                    (
-                        r[0, 0].astype(jnp.float32)
-                        * n[0, 0].astype(jnp.float32)[..., None]
-                    ).astype(r.dtype)
+                    slot(
+                        (
+                            r[0, 0].astype(jnp.float32)
+                            * n[0, 0].astype(jnp.float32)[..., None]
+                        ).astype(r.dtype)
+                    )
                     for r, n in zip(xs, ns)
                 ],
                 axis=-1,
             )  # (th, w, 128)
         else:
             *xs, o_ref = args
-            lanes = jnp.concatenate([r[0, 0] for r in xs], axis=-1)
+            lanes = jnp.concatenate([slot(r[0, 0]) for r in xs], axis=-1)
         di = pl.program_id(1)
         hi = pl.program_id(2)
         interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
@@ -765,6 +780,228 @@ def pack_padded_k(x: jax.Array, tile_h: int = 8,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (b, cells + 2, (n_tiles + 2) * th, wp, 128), x.dtype
+        ),
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(*inputs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dils", "w_real", "h_real", "tile_h", "interpret")
+)
+def depthwise_hw_p(
+    pk: jax.Array,
+    w_by_dil: jax.Array,
+    dils: tuple[int, ...],
+    *,
+    w_real: int,
+    h_real: int,
+    tile_h: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-lane dilated (1,3,3) depthwise conv, packed-padded in → out.
+
+    The ACV "patch" convs (acv_ddim.py:181-188: grouped (1,3,3) convs with
+    per-slice dilation 1/2/3) are pure per-channel H×W stencils — no D
+    coupling, no channel mixing — so in the packed geometry they are 9
+    flat-shift multiply-accumulates per dilation on the VPU.  r5 motivation:
+    once their consumer became a Pallas custom-call, XLA's depthwise lowering
+    collapsed (8.5 → 27.6 ms/prep measured); this kernel replaces it.
+
+    Args:
+      pk: packed-padded volume (pack_padded_k output, any c_slot layout).
+      w_by_dil: ``(len(dils), 3, 3, 128)`` f32 per-lane tap weights, already
+        laid out on packed lanes (zero for lanes not in that dilation group).
+      dils: static per-group dilations (e.g. ``(1,)`` or ``(1, 2, 3)``).
+
+    Requires ``wp - w_real - 1 >= max(dils)`` zero columns on the right (the
+    flat-shift wraparound must land in the zero pad) and ``tile_h >= 4``.
+    """
+    b, cells_p, rows_p, wp, _ = pk.shape
+    th = tile_h
+    n_tiles = rows_p // th - 2
+    md = max(dils)
+    assert wp - w_real - 1 >= md and th >= 4, (wp, w_real, md, th)
+    grid = (b, cells_p, n_tiles + 2)
+
+    def tile_spec(dh):
+        return pl.BlockSpec(
+            (1, 1, th, wp, 128),
+            functools.partial(
+                lambda bi, di, hi, dh: (
+                    bi, di, jnp.clip(hi + dh - 1, 0, n_tiles + 1), 0, 0,
+                ),
+                dh=dh,
+            ),
+        )
+
+    in_specs = [tile_spec(dh) for dh in range(3)]
+    in_specs.append(
+        pl.BlockSpec((len(dils), 3, 3, 128), lambda bi, di, hi: (0,) * 4)
+    )
+
+    def body(prev, cur, nxt, w_ref, o_ref):
+        di = pl.program_id(1)
+        hi = pl.program_id(2)
+        cells = cells_p - 2
+        interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
+        # 4 halo rows above (absorb the -(3·wp+3) max negative flat offset),
+        # 4 below.
+        win = jnp.concatenate(
+            [prev[0, 0, th - 4 :], cur[0, 0], nxt[0, 0, :4]], axis=0
+        )  # (th+8, wp, 128)
+        flat = win.reshape((th + 8) * wp, 128)
+        m = th * wp
+        acc = jnp.zeros((m, 128), jnp.float32)
+        for gi, d in enumerate(dils):
+            for dy in range(3):
+                for dx in range(3):
+                    shift = (4 + (dy - 1) * d) * wp + (dx - 1) * d
+                    acc += (
+                        flat[shift : shift + m].astype(jnp.float32)
+                        * w_ref[gi, dy, dx].astype(jnp.float32)
+                    )
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        col = ridx % wp
+        row = ridx // wp
+        ok = (
+            (col >= 1)
+            & (col <= w_real)
+            & ((hi - 1) * th + row < h_real)
+            & interior
+        )
+        acc = jnp.where(ok, acc, 0.0)
+        o_ref[0, 0] = acc.reshape(th, wp, 128).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th, wp, 128), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(pk.shape, pk.dtype),
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(pk, pk, pk, w_by_dil)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_disp", "tile_h", "interpret")
+)
+def pack_concat_k(
+    cl: jax.Array,
+    cr: jax.Array,
+    att: jax.Array,
+    noise: jax.Array | None = None,
+    *,
+    max_disp: int,
+    tile_h: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused concat-volume build + attention (+noise) multiply + pack.
+
+    Produces exactly ``pack_padded_k(att[..., None] * (noise[..., None] *)
+    build_concat_volume(cl, cr, D))`` without EVER materializing the
+    (B, D, H, W, 2C) concat volume (94 MB at the flagship shape) or the
+    attention-filtered product in HBM: each packed tile shifts the right
+    features in-kernel (dynamic sublane slice of a D-prepadded row — the
+    shift d is the grid's cell×phase index) and multiplies the per-phase
+    attention rows on the fly.
+
+    r5 motivation: the XLA concat build + softmax-att multiply cost
+    ~10 ms/prep-model once Pallas custom-calls were adjacent (layout
+    poisoning of the stack/pad/multiply fusions), and the DDIM scan re-read
+    the premultiplied volume every step anyway — with this kernel the prep
+    hands the scan (cl, cr, att) and each denoise step packs directly from
+    features (att ⊙ step-noise fused here, replacing pack_padded_k's noise
+    path).  Reference semantics: SceneFlow/models/submodule.py:180-191
+    (left half filled at every d) + acv_ddim.py:390 (softmax ⊙ concat).
+
+    Args:
+      cl, cr: ``(B, H, W, C)`` concat features (C=32 in ACV).
+      att: ``(B, D, H, W)`` softmaxed attention weights.
+      noise: optional ``(B, D, H, W)`` extra multiplier (DDIM step noise).
+      max_disp: D (bins).
+
+    Returns:
+      packed-padded ``(B, cells+2, (tiles+2)·th, wp, 128)`` volume, p·2C=128.
+    """
+    b, h, w, c = cl.shape
+    d = max_disp
+    p = 128 // (2 * c)
+    assert 2 * c * p == 128 and d % p == 0, (c, d)
+    th = tile_h
+    assert h % th == 0, (h, th)
+    n_tiles = h // th
+    wp = -(-(w + 2) // 8) * 8
+    cells = d // p
+    grid = (b, cells + 2, n_tiles + 2)
+    # Right features pre-padded with D zero columns on the left: the shifted
+    # row r[x - dval] is then a contiguous slice starting at D - dval, and
+    # the w < dval region reads the zero pad (no mask needed).
+    crp = jnp.pad(cr, ((0, 0), (0, 0), (d, 0), (0, 0)))
+
+    def row_spec(src_w):
+        return pl.BlockSpec(
+            (1, th, src_w, c),
+            lambda bi, di, hi: (bi, jnp.clip(hi - 1, 0, n_tiles - 1), 0, 0),
+        )
+
+    def att_spec(phi):
+        return pl.BlockSpec(
+            (1, 1, th, w),
+            functools.partial(
+                lambda bi, di, hi, phi: (
+                    bi,
+                    jnp.clip((di - 1) * p + phi, 0, d - 1),
+                    jnp.clip(hi - 1, 0, n_tiles - 1),
+                    0,
+                ),
+                phi=phi,
+            ),
+        )
+
+    in_specs = [row_spec(w), row_spec(w + d)]
+    in_specs += [att_spec(phi) for phi in range(p)]
+    inputs: list = [cl, crp] + [att] * p
+    if noise is not None:
+        assert noise.shape == (b, d, h, w), (noise.shape, att.shape)
+        in_specs += [att_spec(phi) for phi in range(p)]
+        inputs += [noise] * p
+
+    def body(*args):
+        cl_ref, cr_ref = args[0], args[1]
+        atts = args[2 : 2 + p]
+        ns = args[2 + p : 2 + 2 * p] if noise is not None else None
+        o_ref = args[-1]
+        di = pl.program_id(1)
+        hi = pl.program_id(2)
+        interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
+        l_row = cl_ref[0].astype(jnp.float32)  # (th, w, c)
+        parts = []
+        for phi in range(p):
+            dval = jnp.clip((di - 1) * p + phi, 0, d - 1)
+            a = atts[phi][0, 0].astype(jnp.float32)  # (th, w)
+            if ns is not None:
+                a = a * ns[phi][0, 0].astype(jnp.float32)
+            r_row = cr_ref[0, :, pl.ds(d - dval, w), :].astype(jnp.float32)
+            parts.append(l_row * a[..., None])
+            parts.append(r_row * a[..., None])
+        lanes = jnp.concatenate(parts, axis=-1).astype(o_ref.dtype)
+        tile = jnp.pad(lanes, ((0, 0), (1, wp - w - 1), (0, 0)))
+        scale = jnp.where(interior, 1.0, 0.0).astype(tile.dtype)
+        o_ref[0, 0] = tile * scale
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th, wp, 128), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cells + 2, (n_tiles + 2) * th, wp, 128), cl.dtype
         ),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,

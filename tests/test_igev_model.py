@@ -343,3 +343,27 @@ def test_geo_lookup_pooled_matches_coarsened():
                 full[..., list(rows)] = flat
             return full
         np.testing.assert_allclose(canon(pcs_p), canon(pcs_a), rtol=1e-4, atol=1e-5)
+
+
+def test_geo_lookup_lowband_matches_volume_in_quirk_regime():
+    """Absolute low-column band == dense volume lookup for quirk-eval
+    coordinates (corr positions = init_disp·2⁻ⁱ + dx, provably inside the
+    band — see eval/pipeline.py quirk dispatch)."""
+    rng = np.random.default_rng(21)
+    b, h, w, d, c = 1, 4, 40, 16, 8
+    ml = jnp.asarray(rng.standard_normal((b, h, w, 16)).astype(np.float32))
+    mr = jnp.asarray(rng.standard_normal((b, h, w, 16)).astype(np.float32))
+    gev = jnp.asarray(rng.standard_normal((b, d, h, w, c)).astype(np.float32))
+    pyr_v = build_geo_pyramid(ml, mr, gev, num_levels=2, corr_mode="volume")
+    pyr_l = build_geo_pyramid(ml, mr, gev, num_levels=2, corr_mode="lowband",
+                              band=32)
+    assert pyr_l.band_mode == "low"
+    # quirk regime: coords = carried coords1 (≈ init_disp + residual),
+    # disp = the residual → coords − disp = init_disp ∈ [0, d).
+    init_disp = jnp.asarray(rng.uniform(0.0, d - 1.0, (b, h, w)).astype(np.float32))
+    resid = jnp.asarray(rng.uniform(-2.0, 2.0, (b, h, w)).astype(np.float32))
+    coords = init_disp + resid
+    out_v = geo_lookup(pyr_v, resid, coords, radius=4)
+    out_l = geo_lookup(pyr_l, resid, coords, radius=4)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_v),
+                               rtol=1e-5, atol=1e-5)

@@ -324,3 +324,127 @@ def test_acv_denoise_fast_matches_module(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
             err_msg=f"fast-path {name} diverged")
+
+
+def test_acv_prep_fast_matches_module():
+    """Packed pass-1/prep == baseline forward + build_cost_volume (interpret).
+
+    r5: the whole prep (frozen baseline aggregation + BOTH models' attention
+    volume builds) runs on the packed kernel family; parity covers the
+    40→64-pad x2 entry, the packed attention hourglass, and the softmax ⊙
+    concat epilogue."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffuvolume_tpu.models.acv import ACVNet, acv_prep_fast
+
+    h, w, md = 32, 64, 64
+    rng = jax.random.PRNGKey(0)
+    base = ACVNet(max_disp=md, diffusion=False)
+    ddim = ACVNet(max_disp=md, diffusion=True)
+    left = jax.random.normal(rng, (1, h, w, 3)) * 0.3
+    right = jax.random.normal(jax.random.fold_in(rng, 1), (1, h, w, 3)) * 0.3
+    base_vars = base.init(jax.random.PRNGKey(1), left, right, train=True)
+    ddim_vars = ddim.init(
+        jax.random.PRNGKey(2), left, right, jnp.zeros((1, h // 4, w // 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, md // 4, h // 4, w // 4)),
+        train=True,
+    )
+
+    want_disp = base.apply(base_vars, left, right, train=False)[-1]
+    want_vol, _ = ddim.apply(ddim_vars, left, right, train=False,
+                             method=ACVNet.build_cost_volume)
+    got_disp, (cl, cr, att) = acv_prep_fast(base, ddim, base_vars, ddim_vars,
+                                            left, right, interpret=True)
+    from diffuvolume_tpu.ops.cost_volume import build_concat_volume
+
+    got_vol = att[..., None] * build_concat_volume(cl, cr, md // 4)
+    np.testing.assert_allclose(np.asarray(got_disp), np.asarray(want_disp),
+                               rtol=2e-3, atol=2e-3,
+                               err_msg="prep fast baseline disp diverged")
+    # The untrained init produces |volume| ~ 6e4; compare magnitude-
+    # normalized (fp accumulation-order noise on near-cancelling elements
+    # otherwise trips a raw rtol).
+    gv, wv = np.asarray(got_vol), np.asarray(want_vol)
+    assert np.max(np.abs(gv - wv)) / np.max(np.abs(wv)) < 1e-4, (
+        "prep fast ac_volume diverged")
+
+
+def test_pack_padded_k_c_slot():
+    """c_slot packing == pack_padded of the channel-zero-padded volume."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffuvolume_tpu.ops.pallas.conv3d import pack_padded, pack_padded_k
+
+    rng = jax.random.PRNGKey(0)
+    x40 = jax.random.normal(rng, (1, 16, 16, 22, 40))
+    want = pack_padded(jnp.pad(x40, ((0, 0),) * 4 + ((0, 24),)), tile_h=8)
+    got = pack_padded_k(x40, tile_h=8, interpret=True, c_slot=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_pack_concat_k_matches_xla():
+    """Fused concat-build+att(+noise)-multiply+pack == the XLA composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffuvolume_tpu.ops.cost_volume import build_concat_volume
+    from diffuvolume_tpu.ops.pallas.conv3d import pack_concat_k, pack_padded
+
+    rng = jax.random.PRNGKey(0)
+    b, d, h, w, c = 1, 16, 16, 22, 32
+    cl = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, w, c))
+    cr = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, w, c))
+    att = jax.nn.softmax(
+        jax.random.normal(jax.random.fold_in(rng, 3), (b, d, h, w)), axis=1)
+    noise = jax.random.uniform(jax.random.fold_in(rng, 4), (b, d, h, w))
+    vol = build_concat_volume(cl, cr, d)
+    for ns in (None, noise):
+        m = att if ns is None else att * ns
+        want = pack_padded(vol * m[..., None], tile_h=8)
+        got = pack_concat_k(cl, cr, att, ns, max_disp=d, tile_h=8,
+                            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_depthwise_hw_p_matches_xla():
+    """Packed per-lane dilated depthwise (1,3,3) conv == XLA depthwise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        depthwise_hw_p, pack_padded_k, unpack_padded_k,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    b, d, h, w = 1, 8, 16, 20
+    x = jax.random.normal(rng, (b, d, h, w, 40))
+    pk = pack_padded_k(x, tile_h=8, interpret=True, c_slot=64)
+
+    def dw(xs, k, dil):
+        return jax.lax.conv_general_dilated(
+            xs.reshape(b * d, h, w, xs.shape[-1]), k[:, :, None, :],
+            (1, 1), [(dil, dil)] * 2, rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=xs.shape[-1]).reshape(b, d, h, w, -1)
+
+    ks = [jax.random.normal(jax.random.fold_in(rng, i), (3, 3, n))
+          for i, n in ((1, 8), (2, 16), (3, 16))]
+    want = jnp.concatenate(
+        [dw(x[..., :8], ks[0], 1), dw(x[..., 8:24], ks[1], 2),
+         dw(x[..., 24:40], ks[2], 3)], -1)
+    wb = np.zeros((3, 3, 3, 128), np.float32)
+    for gi, (lo, hi) in enumerate(((0, 8), (8, 24), (24, 40))):
+        for phi in range(2):
+            wb[gi, :, :, phi * 64 + lo : phi * 64 + hi] = np.asarray(ks[gi])
+    got_pk = depthwise_hw_p(pk, jnp.asarray(wb), (1, 2, 3), w_real=w,
+                            h_real=h, tile_h=8, interpret=True)
+    got = unpack_padded_k(got_pk, d, h, w, 40, tile_h=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
