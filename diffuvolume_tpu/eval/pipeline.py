@@ -192,19 +192,47 @@ def _pcw_packed_flag() -> bool:
     return os.environ.get("DIFFU_PCW_PACKED", "1") == "1"
 
 
+def _pcw_prep_packed_flag() -> bool:
+    """Packed PCW pass-1/prep (pcw_prep_fast) — r5, same cache-key pattern."""
+    import os
+
+    return os.environ.get("DIFFU_PCW_PREP_PACKED", "1") == "1"
+
+
 @functools.cache
 def _pcw_stages(baseline_model, ddim_model, cfg: DDIMConfig,
-                packed: bool = False):
+                packed: bool = False, prep_packed: bool = False):
     from diffuvolume_tpu.models.pcw import PCWNet
 
     sched = make_schedule(1000)
 
     @jax.jit
     def prep(baseline_vars, ddim_vars, left, right):
+        from diffuvolume_tpu.models.pcw import pcw_prep_fast
+        from diffuvolume_tpu.utils.platform import is_tpu_lowering
+
         h4, w4 = left.shape[1] // 4, left.shape[2] // 4
-        baseline_disp = baseline_model.apply(
-            baseline_vars, left, right, train=False
-        )[0][0]
+        fast = (
+            prep_packed
+            and is_tpu_lowering()
+            and "batch_stats" in ddim_vars
+            and "batch_stats" in baseline_vars
+            and h4 % 8 == 0
+            and w4 % 4 == 0
+        )
+        if fast:
+            baseline_disp, combine, fl, fr = pcw_prep_fast(
+                baseline_model, ddim_model, baseline_vars, ddim_vars,
+                left, right,
+            )
+        else:
+            baseline_disp = baseline_model.apply(
+                baseline_vars, left, right, train=False
+            )[0][0]
+            combine, _, fl, fr = ddim_model.apply(
+                ddim_vars, left, right, train=False,
+                method=PCWNet.build_cost_volume,
+            )
         disp_q = (
             resize_bilinear(
                 jnp.clip(baseline_disp, 0.0, cfg.max_disp - 1), (h4, w4), 1, 2
@@ -212,9 +240,6 @@ def _pcw_stages(baseline_model, ddim_model, cfg: DDIMConfig,
             / 4.0
         )
         baseline_latent = encode_disparity_volume(disp_q, cfg.num_bins, cfg.scale)
-        combine, _, fl, fr = ddim_model.apply(
-            ddim_vars, left, right, train=False, method=PCWNet.build_cost_volume
-        )
         return baseline_disp, baseline_latent, combine, fl, fr
 
     @jax.jit
@@ -270,7 +295,7 @@ def pcw_ddim_inference(
 
     cfg = KITTI12_DDIM if cfg is None else cfg
     prep, sample = _pcw_stages(baseline_model, ddim_model, cfg,
-                               _pcw_packed_flag())
+                               _pcw_packed_flag(), _pcw_prep_packed_flag())
     baseline_disp, baseline_latent, combine, fl, fr = prep(
         baseline_vars, ddim_vars, left, right
     )

@@ -570,22 +570,27 @@ def _attention_volume_packed(
         feat_r = model.apply(
             variables, right, method=lambda m, x: m.feature_extraction(x, False))
 
-    gwc = build_gwc_volume(feat_l, feat_r, d, model.num_groups)
-
     wp = -(-(w4 + 2) // 8) * 8
     if wp - w4 - 1 >= 3:
-        # Patch convs as packed per-lane stencils (depthwise_hw_p): XLA's
-        # depthwise lowering collapsed to 27.6 ms/prep once its consumer was
-        # a custom-call (r5 trace); the packed form is ~2 ms of VPU FMAs.
+        # gwc volume built DIRECTLY in the packed 64-slot geometry (the XLA
+        # builder's slice/stack fusions measured 20.2 ms/prep once layout-
+        # poisoned by the custom-call consumer, + 3.3 ms of c_slot packs),
+        # then the patch convs as packed per-lane stencils (depthwise_hw_p:
+        # XLA's depthwise lowering collapsed 8.5 → 27.6 ms/prep in the same
+        # context).
         from diffuvolume_tpu.ops.pallas.conv3d import depthwise_hw_p
+        from diffuvolume_tpu.ops.pallas.gwc_volume import gwc_volume_packed
 
         w_patch, w_l123 = _patch_lane_weights(variables, model.num_groups)
-        pk_g = pack_padded_k(gwc, th, interpret=interpret, c_slot=64)
+        pk_g = gwc_volume_packed(feat_l, feat_r, d, model.num_groups,
+                                 tile_h=th, interpret=interpret, c_slot=64)
         pk_g = depthwise_hw_p(pk_g, w_patch, (1,), w_real=w4, h_real=h4,
                               tile_h=th, interpret=interpret)
         pk64 = depthwise_hw_p(pk_g, w_l123, (1, 2, 3), w_real=w4, h_real=h4,
                               tile_h=th, interpret=interpret)
     else:
+        gwc = build_gwc_volume(feat_l, feat_r, d, model.num_groups)
+
         def patch_fn(m, g):
             g = m.patch(g, False)
             p1 = m.patch_l1(g[..., :8], False)

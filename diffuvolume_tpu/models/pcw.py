@@ -483,6 +483,65 @@ def _hourglass_mish_packed(model, variables, name, pk_in, h4, w4, th,
                           interpret=interpret)
 
 
+def _refine_flat(model, variables, pred3, fl, fr, out_hw, interpret=False):
+    """RefineNetV3 with every 3×3 conv on the Pallas conv2d_flat kernel
+    (BN folded f32; Mish/act + residual adds stay XLA elementwise; the 1×1
+    downsample projections run as einsum dots — never XLA convs, so there is
+    no conv strategy left to poison).  r5, VERDICT item 3: the r4 park
+    compared conv2d_flat standalone (3.99 ms) against XLA standalone (3.5)
+    while the real in-program XLA cost is 5.4 ms/conv × 8 convs × 3 DDIM
+    steps (trace_pcw).  Wired behind DIFFU_PCW_REFINE_FLAT for the
+    in-program A/B the verdict ordered.  Reference: pwcnet_ddim.py:251-306.
+    """
+    from diffuvolume_tpu.models.acv import _fold_convbn_tree
+    from diffuvolume_tpu.ops.pallas.conv2d import conv2d_flat
+
+    dt = model.dtype
+    act = _ACTS[model.act]
+    p = variables["params"]["refinenet3"]
+    bs = variables["batch_stats"]["refinenet3"]
+
+    def prefix(m, pred3, fl, fr):
+        rl = resize_bilinear(fl["refine"], out_hw, 1, 2, align_corners=True)
+        rr = resize_bilinear(fr["refine"], out_hw, 1, 2, align_corners=True)
+        rr_warp = warp_right_to_left(rr, pred3)
+        corr = build_signed_correlation_volume(rl, rr_warp, 24)
+        corr = jnp.moveaxis(corr, 1, -1)
+        pred3_feat = m.dispupsample(pred3[..., None], False)
+        return jnp.concatenate(
+            [rl - rr_warp, rl, pred3_feat, pred3[..., None], corr], axis=-1
+        )
+
+    x = model.apply(variables, pred3, fl, fr, method=prefix)
+
+    def cbn(t, tree, tree_bs, dil):
+        k, b = _fold_convbn_tree(tree, tree_bs)
+        return conv2d_flat(t, k.astype(dt), b, dilation=dil,
+                           tile_h=8, interpret=interpret)
+
+    def block(t, name, dil):
+        # BasicBlockMish (stride 1): act(conv1) → conv2, + 1×1 downsample.
+        o = act(cbn(t, p[name]["conv1"], bs[name]["conv1"], dil))
+        o = cbn(o, p[name]["conv2"], bs[name]["conv2"], dil)
+        kd, bd = _fold_convbn_tree(p[name]["downsample"], bs[name]["downsample"])
+        ds = (
+            jnp.einsum("bhwc,co->bhwo", t.astype(dt), kd[0, 0].astype(dt))
+            .astype(jnp.float32) + bd
+        ).astype(t.dtype)
+        return o + ds
+
+    y = act(cbn(x, p["conv1"], bs["conv1"], 1))
+    y = act(cbn(y, p["conv2"], bs["conv2"], 1))
+    y = act(cbn(y, p["conv3"], bs["conv3"], 2))
+    y = act(cbn(y, p["conv4"], bs["conv4"], 4))
+    y = block(y, "conv5", 8)
+    y = block(y, "conv6", 16)
+    y = block(y, "conv7", 1)
+    y = conv2d_flat(y, p["conv8"]["kernel"].astype(dt), None, dilation=1,
+                    tile_h=8, interpret=interpret)
+    return pred3 + y[..., 0]
+
+
 def pcw_denoise_fast(
     model: PCWNet,
     variables,
@@ -509,17 +568,47 @@ def pcw_denoise_fast(
         fused_upsample_softargmin,
     )
 
+    noise = model.apply(variables, latent, t,
+                        method=lambda m, l, tt: m.time_embedding(l, tt))
+    noise = jnp.clip(noise, -model.scale, model.scale)
+    noise = (noise / model.scale + 1.0) / 2.0
+    disp_finetune, unc3 = _pcw_aggregate_packed(
+        model, variables, combine_volume, fl, fr, out_hw, noise=noise,
+        interpret=interpret,
+    )
+    return disp_finetune, unc3, noise.astype(jnp.float32)
+
+
+def _pcw_aggregate_packed(model, variables, combine_volume, fl, fr, out_hw,
+                          noise=None, interpret=False):
+    """The packed PCW aggregation pass: (noise ⊙) combine → dres2/3/4 Mish
+    hourglasses → classif3 head → warp refinement.  Shared by the DDIM
+    denoise step (noise ≠ None) and the frozen-baseline eval forward
+    (noise = None — pwcnet.py's eval branch runs the byte-identical blocks).
+    Returns ``(disp_finetune, uncertainty)`` at ``out_hw``.
+    """
+    import os
+
+    from diffuvolume_tpu.models.acv import _fold_convbn_params
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        conv3d_fold_p,
+        pack_padded_k,
+        unpack_padded_k,
+    )
+    from diffuvolume_tpu.ops.pallas.fused_head import (
+        fused_uncertainty_at,
+        fused_upsample_softargmin,
+    )
+
     dt = model.dtype
     b, d, h4, w4, _ = combine_volume.shape
     th = 8
     mish = model.act == "mish"
 
-    noise = model.apply(variables, latent, t,
-                        method=lambda m, l, tt: m.time_embedding(l, tt))
-    noise = jnp.clip(noise, -model.scale, model.scale)
-    noise = (noise / model.scale + 1.0) / 2.0
-    pk = pack_padded_k(combine_volume, th, interpret=interpret,
-                       noise=noise.astype(combine_volume.dtype))
+    pk = pack_padded_k(
+        combine_volume, th, interpret=interpret,
+        noise=None if noise is None else noise.astype(combine_volume.dtype),
+    )
 
     pk = _hourglass_mish_packed(model, variables, "dres2", pk, h4, w4, th,
                                 interpret)
@@ -549,11 +638,36 @@ def pcw_denoise_fast(
         # in-program vs 3.5 standalone).  Measured r4: 2.1311 vs 2.1315 —
         # NO effect; the inflation is not barrier-breakable fusion context.
         pred3_r = jax.lax.optimization_barrier(pred3)
-    disp_finetune = model.apply(variables, pred3_r, fl, fr, out_hw, False,
-                                method=PCWNet.refine)
+    if os.environ.get("DIFFU_PCW_REFINE_FLAT", "1") == "1":
+        disp_finetune = _refine_flat(model, variables, pred3_r, fl, fr,
+                                     out_hw, interpret=interpret)
+    else:
+        disp_finetune = model.apply(variables, pred3_r, fl, fr, out_hw, False,
+                                    method=PCWNet.refine)
     if os.environ.get("DIFFU_PCW_APPROX_UNC", "0") != "1":
         unc3 = fused_uncertainty_at(
             cost3, disp_finetune, model.max_disp, out_hw,
             align_corners=True, interpret=interpret or None,
         )
-    return disp_finetune, unc3, noise.astype(jnp.float32)
+    return disp_finetune, unc3
+
+
+def pcw_prep_fast(baseline_model, ddim_model, baseline_vars, ddim_vars,
+                  left, right, interpret: bool = False):
+    """Packed PCW pass-1/prep (r5): the frozen baseline's aggregation +
+    refinement run on the packed kernel family (the module path re-ran the
+    exact blocks pcw_denoise_fast already accelerates, once per pair); the
+    multi-scale volume builds stay on the XLA module path for now
+    (HourglassUp's cross-scale concats need p-mixing merge kernels — see
+    CLAUDE.md r5 notes).  Returns ``(baseline_disp, combine, fl, fr)``.
+    """
+    out_hw = (left.shape[1], left.shape[2])
+    combine_b, _, fl_b, fr_b = baseline_model.apply(
+        baseline_vars, left, right, train=False,
+        method=PCWNet.build_cost_volume)
+    baseline_disp, _ = _pcw_aggregate_packed(
+        baseline_model, baseline_vars, combine_b, fl_b, fr_b, out_hw,
+        interpret=interpret)
+    combine, _, fl, fr = ddim_model.apply(
+        ddim_vars, left, right, train=False, method=PCWNet.build_cost_volume)
+    return baseline_disp, combine, fl, fr

@@ -852,14 +852,18 @@ def depthwise_hw_p(
         )  # (th+8, wp, 128)
         flat = win.reshape((th + 8) * wp, 128)
         m = th * wp
+        # Products in the input dtype (bf16 on the eval path — the module's
+        # XLA convs multiply in bf16 too), accumulated f32: the f32 variant
+        # measured 4.47 ms/call (the 27 shifted-slice materializations are
+        # byte-bound, so dtype width is the lever).
         acc = jnp.zeros((m, 128), jnp.float32)
         for gi, d in enumerate(dils):
             for dy in range(3):
                 for dx in range(3):
                     shift = (4 + (dy - 1) * d) * wp + (dx - 1) * d
-                    acc += (
-                        flat[shift : shift + m].astype(jnp.float32)
-                        * w_ref[gi, dy, dx].astype(jnp.float32)
+                    acc = acc + (
+                        flat[shift : shift + m]
+                        * w_ref[gi, dy, dx].astype(flat.dtype)
                     )
         ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
         col = ridx % wp
@@ -979,13 +983,24 @@ def pack_concat_k(
         hi = pl.program_id(2)
         interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
         l_row = cl_ref[0].astype(jnp.float32)  # (th, w, c)
+        # The per-phase shift is grid-dynamic; Mosaic rejects unaligned
+        # dynamic sublane slices ("index in dimension 2 must be a multiple
+        # of 8") and per-row one-hot matmuls measured 36 ms/call (7.5k tiny
+        # MXU dots), so the shifted row is a dynamic ROLL of the flattened
+        # (th·(w+D), C) rows — rotate is 32-bit-only, hence the f32 cast —
+        # followed by a static per-row crop.  x+δ ≤ w−1+D < w+D keeps every
+        # crop inside its own row, so the roll's wraparound never leaks.
+        flat_r = cr_ref[0].astype(jnp.float32).reshape(th * (w + d), c)
         parts = []
         for phi in range(p):
             dval = jnp.clip((di - 1) * p + phi, 0, d - 1)
             a = atts[phi][0, 0].astype(jnp.float32)  # (th, w)
             if ns is not None:
                 a = a * ns[phi][0, 0].astype(jnp.float32)
-            r_row = cr_ref[0, :, pl.ds(d - dval, w), :].astype(jnp.float32)
+            # Positive-equivalent shift: negative DYNAMIC rolls produced
+            # wrong values on device (interpret mode accepted them).
+            rolled = pltpu.roll(flat_r, th * (w + d) + dval - d, axis=0)
+            r_row = rolled.reshape(th, w + d, c)[:, :w]  # (th, w, c) f32
             parts.append(l_row * a[..., None])
             parts.append(r_row * a[..., None])
         lanes = jnp.concatenate(parts, axis=-1).astype(o_ref.dtype)

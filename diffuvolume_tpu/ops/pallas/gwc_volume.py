@@ -125,7 +125,8 @@ def gwc_volume_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_disp", "num_groups", "tile_h", "interpret")
+    jax.jit,
+    static_argnames=("max_disp", "num_groups", "tile_h", "interpret", "c_slot"),
 )
 def gwc_volume_packed(
     left: jax.Array,
@@ -134,6 +135,7 @@ def gwc_volume_packed(
     num_groups: int,
     tile_h: int = 8,
     interpret: bool = False,
+    c_slot: int | None = None,
 ) -> jax.Array:
     """Group-wise correlation volume built DIRECTLY in the packed-padded
     lane geometry (r4, for the IGEV packed GEV tower).
@@ -153,8 +155,14 @@ def gwc_volume_packed(
     """
     b, h, w, c = left.shape
     g = num_groups
-    p = 128 // g
-    assert g * p == 128 and max_disp % p == 0, (g, max_disp)
+    # c_slot (r5): place G real channels in c_slot-lane slots, zero-filling
+    # the pad lanes — the ACV attention branch packs its G=40 gwc volume
+    # into 64-lane slots (p=2) so the packed patch/x2 chain consumes it
+    # directly (the XLA gwc build + separate c_slot pack measured
+    # 20.2 + 3.3 ms/prep once layout-poisoned by the custom-call consumer).
+    slot = g if c_slot is None else c_slot
+    p = 128 // slot
+    assert slot * p == 128 and max_disp % p == 0 and slot >= g, (g, slot)
     cells = max_disp // p
     th = tile_h
     hk = min(th, 8)
@@ -165,7 +173,7 @@ def gwc_volume_packed(
     cpg = c // g
     assert cpg * g == c, (c, g)
 
-    pm = np.zeros((c, g), np.float32)
+    pm = np.zeros((c, slot), np.float32)
     for gi in range(g):
         pm[gi * cpg : (gi + 1) * cpg, gi] = 1.0 / cpg
     pmat = jnp.asarray(pm, left.dtype)
@@ -222,7 +230,7 @@ def gwc_volume_packed(
         in_specs=[
             io_spec(),
             io_spec(),
-            pl.BlockSpec((c, g), lambda bi, gi: (0, 0)),
+            pl.BlockSpec((c, slot), lambda bi, gi: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, cells + 2, hk, wp, 128), lambda bi, gi: (bi, 0, gi, 0, 0)

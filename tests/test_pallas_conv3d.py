@@ -448,3 +448,42 @@ def test_depthwise_hw_p_matches_xla():
     got = unpack_padded_k(got_pk, d, h, w, 40, tile_h=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_pcw_prep_fast_matches_module():
+    """Packed PCW pass-1/prep == the module baseline forward (interpret).
+
+    The frozen baseline's aggregation (3 Mish hourglasses + classif3 head +
+    warp refinement) runs on the packed kernel family; parity covers the
+    noise-free pack entry and the flat-conv refinement."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffuvolume_tpu.models.pcw import PCWNet, pcw_prep_fast
+
+    h, w, md = 64, 64, 192
+    rng = jax.random.PRNGKey(0)
+    base = PCWNet(max_disp=md, diffusion=False)
+    ddim = PCWNet(max_disp=md, diffusion=True)
+    left = jax.random.normal(rng, (1, h, w, 3)) * 0.3
+    right = jax.random.normal(jax.random.fold_in(rng, 1), (1, h, w, 3)) * 0.3
+    base_vars = base.init(jax.random.PRNGKey(1), left, right, train=True)
+    ddim_vars = ddim.init(
+        jax.random.PRNGKey(2), left, right, jnp.zeros((1, h // 4, w // 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, md // 4, h // 4, w // 4)),
+        train=True,
+    )
+
+    want_disp = base.apply(base_vars, left, right, train=False)[0][0]
+    want_vol, _, _, _ = ddim.apply(ddim_vars, left, right, train=False,
+                                   method=PCWNet.build_cost_volume)
+    got_disp, got_vol, _, _ = pcw_prep_fast(base, ddim, base_vars, ddim_vars,
+                                            left, right, interpret=True)
+    # Random-init refine residuals are ~1e7; compare magnitude-normalized
+    # (a raw atol trips on fp accumulation-order noise).
+    gd, wd = np.asarray(got_disp), np.asarray(want_disp)
+    assert np.max(np.abs(gd - wd)) / np.max(np.abs(wd)) < 1e-2, (
+        "pcw prep fast baseline disp diverged")
+    np.testing.assert_allclose(np.asarray(got_vol), np.asarray(want_vol),
+                               rtol=1e-5, atol=1e-5)
