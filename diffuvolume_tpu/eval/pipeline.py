@@ -72,10 +72,21 @@ def _acv_prep_fn(baseline_model: ACVNet, ddim_model: ACVNet, cfg: DDIMConfig,
                 baseline_model, ddim_model, baseline_vars, ddim_vars,
                 left, right,
             )
-            if not sample_packed:
+            cl, cr, att = ac_volume
+            if sample_packed:
+                # Pack the scan-invariant concat volume ONCE; each DDIM step
+                # pays only the att⊙noise multiply (packed_dhw_mul_k).
+                from diffuvolume_tpu.models.acv import PackedConcat, _acv_tile_h
+                from diffuvolume_tpu.ops.pallas.conv3d import pack_concat_k
+
+                pk_cat = pack_concat_k(
+                    cl, cr, None, None, max_disp=cfg.num_bins,
+                    tile_h=_acv_tile_h(h4),
+                )
+                ac_volume = PackedConcat(pk_cat, att)
+            else:
                 from diffuvolume_tpu.ops.cost_volume import build_concat_volume
 
-                cl, cr, att = ac_volume
                 ac_volume = att[..., None] * build_concat_volume(
                     cl, cr, cfg.num_bins)
         else:

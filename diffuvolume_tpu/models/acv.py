@@ -16,7 +16,7 @@ rebuilding the volume:
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -370,6 +370,18 @@ def _acv_tile_h(h4: int) -> int:
     return 4 if h4 % th else th
 
 
+class PackedConcat(NamedTuple):
+    """Scan-invariant packed concat volume + softmaxed attention (r5).
+
+    The DDIM scan's per-step entry: ``pk_cat`` is pack_concat_k(cl, cr,
+    att=None) built ONCE in the prep; each step multiplies att ⊙ step-noise
+    in via packed_dhw_mul_k (~1.2 ms) instead of re-building the packed
+    volume from features (2.61 ms/step measured)."""
+
+    pk_cat: jax.Array
+    att: jax.Array
+
+
 def _aggregate_packed(
     model: ACVNet,
     variables,
@@ -390,12 +402,16 @@ def _aggregate_packed(
     """
     from diffuvolume_tpu.ops.pallas.conv3d import (
         conv3d_fold_p, conv3d_fold_x2, pack_concat_k, pack_padded_k,
-        unpack_padded_k,
+        packed_dhw_mul_k, unpack_padded_k,
     )
     from diffuvolume_tpu.ops.pallas.fused_head import fused_upsample_softargmin
 
     dt = model.dtype
-    if isinstance(entry, tuple):
+    if isinstance(entry, PackedConcat):
+        b = entry.att.shape[0]
+        d = model.max_disp // 4
+        h4, w4 = entry.att.shape[2], entry.att.shape[3]
+    elif isinstance(entry, tuple):
         cl, cr, att = entry
         b, h4, w4, _ = cl.shape
         d = model.max_disp // 4
@@ -415,7 +431,13 @@ def _aggregate_packed(
     k00, b00 = _fold_convbn_params(variables, "dres0_0")
     # Noise multiply fused into the pack (saves the 190 MB XLA broadcast-
     # multiply round trip, ~1.15 ms/step measured r4).
-    if isinstance(entry, tuple):
+    if isinstance(entry, PackedConcat):
+        pk64 = packed_dhw_mul_k(
+            entry.pk_cat, entry.att,
+            None if noise is None else noise.astype(entry.att.dtype),
+            c_slot=64, max_disp=d, tile_h=th, interpret=interpret,
+        )
+    elif isinstance(entry, tuple):
         pk64 = pack_concat_k(cl, cr, att, noise, max_disp=d, tile_h=th,
                              interpret=interpret)
     else:

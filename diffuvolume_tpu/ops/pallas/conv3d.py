@@ -852,18 +852,18 @@ def depthwise_hw_p(
         )  # (th+8, wp, 128)
         flat = win.reshape((th + 8) * wp, 128)
         m = th * wp
-        # Products in the input dtype (bf16 on the eval path — the module's
-        # XLA convs multiply in bf16 too), accumulated f32: the f32 variant
-        # measured 4.47 ms/call (the 27 shifted-slice materializations are
-        # byte-bound, so dtype width is the lever).
+        # f32 products: the bf16-product variant measured WORSE on device
+        # (5.69 vs 4.47 ms/call — Mosaic converts each shifted bf16 product
+        # up for the f32 accumulate, adding full-size converts on top of
+        # the shifted-slice materializations).
+        flat = flat.astype(jnp.float32)
         acc = jnp.zeros((m, 128), jnp.float32)
         for gi, d in enumerate(dils):
             for dy in range(3):
                 for dx in range(3):
                     shift = (4 + (dy - 1) * d) * wp + (dx - 1) * d
                     acc = acc + (
-                        flat[shift : shift + m]
-                        * w_ref[gi, dy, dx].astype(flat.dtype)
+                        flat[shift : shift + m] * w_ref[gi, dy, dx]
                     )
         ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
         col = ridx % wp
@@ -967,17 +967,22 @@ def pack_concat_k(
         )
 
     in_specs = [row_spec(w), row_spec(w + d)]
-    in_specs += [att_spec(phi) for phi in range(p)]
-    inputs: list = [cl, crp] + [att] * p
+    inputs: list = [cl, crp]
+    n_att = 0
+    if att is not None:
+        in_specs += [att_spec(phi) for phi in range(p)]
+        inputs += [att] * p
+        n_att = p
     if noise is not None:
-        assert noise.shape == (b, d, h, w), (noise.shape, att.shape)
+        assert noise.shape == (b, d, h, w), noise.shape
         in_specs += [att_spec(phi) for phi in range(p)]
         inputs += [noise] * p
 
     def body(*args):
         cl_ref, cr_ref = args[0], args[1]
-        atts = args[2 : 2 + p]
-        ns = args[2 + p : 2 + 2 * p] if noise is not None else None
+        atts = args[2 : 2 + n_att] if att is not None else None
+        ns = (args[2 + n_att : 2 + n_att + p]
+              if noise is not None else None)
         o_ref = args[-1]
         di = pl.program_id(1)
         hi = pl.program_id(2)
@@ -994,15 +999,22 @@ def pack_concat_k(
         parts = []
         for phi in range(p):
             dval = jnp.clip((di - 1) * p + phi, 0, d - 1)
-            a = atts[phi][0, 0].astype(jnp.float32)  # (th, w)
+            a = None
+            if atts is not None:
+                a = atts[phi][0, 0].astype(jnp.float32)  # (th, w)
             if ns is not None:
-                a = a * ns[phi][0, 0].astype(jnp.float32)
+                n_row = ns[phi][0, 0].astype(jnp.float32)
+                a = n_row if a is None else a * n_row
             # Positive-equivalent shift: negative DYNAMIC rolls produced
             # wrong values on device (interpret mode accepted them).
             rolled = pltpu.roll(flat_r, th * (w + d) + dval - d, axis=0)
             r_row = rolled.reshape(th, w + d, c)[:, :w]  # (th, w, c) f32
-            parts.append(l_row * a[..., None])
-            parts.append(r_row * a[..., None])
+            if a is None:
+                parts.append(l_row)
+                parts.append(r_row)
+            else:
+                parts.append(l_row * a[..., None])
+                parts.append(r_row * a[..., None])
         lanes = jnp.concatenate(parts, axis=-1).astype(o_ref.dtype)
         tile = jnp.pad(lanes, ((0, 0), (1, wp - w - 1), (0, 0)))
         scale = jnp.where(interior, 1.0, 0.0).astype(tile.dtype)
@@ -1018,6 +1030,98 @@ def pack_concat_k(
         out_shape=jax.ShapeDtypeStruct(
             (b, cells + 2, (n_tiles + 2) * th, wp, 128), cl.dtype
         ),
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(*inputs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c_slot", "max_disp", "tile_h", "interpret")
+)
+def packed_dhw_mul_k(
+    pk: jax.Array,
+    m1: jax.Array,
+    m2: jax.Array | None = None,
+    *,
+    c_slot: int,
+    max_disp: int,
+    tile_h: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multiply a packed volume by per-(d,h,w) maps broadcast over channels.
+
+    ``out ≡ pack(unpack(pk) * (m1 ⊙ m2)[..., None])`` — the DDIM step's
+    attention×noise conditioning applied to an already-packed concat volume
+    (r5: cl/cr/att are scan-invariant, so the prep packs the concat volume
+    ONCE via pack_concat_k(att=None) and each step pays only this ~1.2 ms
+    elementwise pass instead of the 2.61 ms roll-shifting rebuild).
+
+    Args:
+      pk: packed-padded volume, lanes = p phases × c_slot.
+      m1, m2: ``(B, D, H, W)`` multipliers (m2 optional).
+    """
+    b, cells_p, rows_p, wp, _ = pk.shape
+    d, th = max_disp, tile_h
+    p = 128 // c_slot
+    cells = cells_p - 2
+    n_tiles = rows_p // th - 2
+    h, w = n_tiles * th, None
+    grid = (b, cells_p, n_tiles + 2)
+
+    def m_spec(phi):
+        return pl.BlockSpec(
+            (1, 1, th, m1.shape[3]),
+            functools.partial(
+                lambda bi, di, hi, phi: (
+                    bi,
+                    jnp.clip((di - 1) * p + phi, 0, d - 1),
+                    jnp.clip(hi - 1, 0, n_tiles - 1),
+                    0,
+                ),
+                phi=phi,
+            ),
+        )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, th, wp, 128),
+                     lambda bi, di, hi: (bi, di, hi, 0, 0))
+    ]
+    inputs: list = [pk]
+    for m in (m1, m2):
+        if m is not None:
+            in_specs += [m_spec(phi) for phi in range(p)]
+            inputs += [m] * p
+    w_real = m1.shape[3]
+
+    def body(*args):
+        pk_ref = args[0]
+        refs = args[1:-1]
+        o_ref = args[-1]
+        di = pl.program_id(1)
+        hi = pl.program_id(2)
+        interior = (di >= 1) & (di <= cells) & (hi >= 1) & (hi <= n_tiles)
+        mparts = []
+        for phi in range(p):
+            mm = refs[phi][0, 0].astype(jnp.float32)
+            if m2 is not None:
+                mm = mm * refs[p + phi][0, 0].astype(jnp.float32)
+            mm = jnp.pad(mm, ((0, 0), (1, wp - w_real - 1)))
+            mparts.append(
+                jnp.broadcast_to(mm[..., None], (th, wp, c_slot))
+            )
+        mul = jnp.concatenate(mparts, axis=-1)  # (th, wp, 128)
+        scale = jnp.where(interior, 1.0, 0.0)
+        out = pk_ref[0, 0].astype(jnp.float32) * mul * scale
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, th, wp, 128), lambda bi, di, hi: (bi, di, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(pk.shape, pk.dtype),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
     )(*inputs)

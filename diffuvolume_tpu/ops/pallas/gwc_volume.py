@@ -165,7 +165,10 @@ def gwc_volume_packed(
     assert slot * p == 128 and max_disp % p == 0 and slot >= g, (g, slot)
     cells = max_disp // p
     th = tile_h
-    hk = min(th, 8)
+    # Wide-C inputs (ACV: C=320) blow the scoped-VMEM stack at hk=8 rows
+    # (74.3 MB measured vs the 64 MB limit — the 48 shifted (m, C)
+    # temporaries scale with program rows); halve the sub-program rows.
+    hk = min(th, 8 if c <= 128 else 4)
     s_split = th // hk
     assert h % th == 0 and th % hk == 0, (h, th)
     n_tiles = h // th

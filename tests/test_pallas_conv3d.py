@@ -487,3 +487,40 @@ def test_pcw_prep_fast_matches_module():
         "pcw prep fast baseline disp diverged")
     np.testing.assert_allclose(np.asarray(got_vol), np.asarray(want_vol),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_dhw_mul_and_pkcat_entry():
+    """packed_dhw_mul_k(pack_concat_k(att=None)) == pack of the multiplied
+    volume, and the PackedConcat denoise entry == the triple entry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffuvolume_tpu.ops.cost_volume import build_concat_volume
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        pack_concat_k, pack_padded, packed_dhw_mul_k,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    b, d, h, w, c = 1, 16, 16, 22, 32
+    cl = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, w, c))
+    cr = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, w, c))
+    att = jax.nn.softmax(
+        jax.random.normal(jax.random.fold_in(rng, 3), (b, d, h, w)), axis=1)
+    noise = jax.random.uniform(jax.random.fold_in(rng, 4), (b, d, h, w))
+    vol = build_concat_volume(cl, cr, d)
+
+    pk_cat = pack_concat_k(cl, cr, None, None, max_disp=d, tile_h=8,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(pk_cat),
+                               np.asarray(pack_padded(vol, tile_h=8)),
+                               atol=1e-5)
+    got = packed_dhw_mul_k(pk_cat, att, noise, c_slot=64, max_disp=d,
+                           tile_h=8, interpret=True)
+    want = pack_padded(vol * (att * noise)[..., None], tile_h=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    got1 = packed_dhw_mul_k(pk_cat, att, None, c_slot=64, max_disp=d,
+                            tile_h=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got1), np.asarray(pack_padded(vol * att[..., None], 8)),
+        atol=1e-5)
