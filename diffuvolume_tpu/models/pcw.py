@@ -512,7 +512,10 @@ def _refine_flat(model, variables, pred3, fl, fr, out_hw, interpret=False):
             [rl - rr_warp, rl, pred3_feat, pred3[..., None], corr], axis=-1
         )
 
-    x = model.apply(variables, pred3, fl, fr, method=prefix)
+    # Compute dtype at entry (the module's nn.Conv casts operands to dt):
+    # an f32 concat reaching conv2d_flat doubles its window VMEM and OOMs
+    # the 64 MB scoped stack at dilation 16 (68.3 MB measured at 384×1248).
+    x = model.apply(variables, pred3, fl, fr, method=prefix).astype(dt)
 
     def cbn(t, tree, tree_bs, dil):
         k, b = _fold_convbn_tree(tree, tree_bs)

@@ -37,6 +37,12 @@ def main(argv=None):
     p.add_argument("--count", type=int, default=None,
                    help="only ops with exactly this event count (e.g. the scan "
                         "trip count, to isolate per-iteration ops)")
+    p.add_argument("--by_shape", action="store_true",
+                   help="aggregate by source line + HLO OUTPUT SHAPE (parsed "
+                        "from args.long_name — splits e.g. the per-conv-shape "
+                        "cost inside one nn.Conv call site)")
+    p.add_argument("--cat", default=None,
+                   help="only ops whose hlo_category contains this")
     args = p.parse_args(argv)
 
     d = load_latest(args.outdir)
@@ -54,9 +60,11 @@ def main(argv=None):
             continue
         name = ev["name"]
         dur = ev.get("dur", 0)  # microseconds
+        a = ev.get("args", {})
+        if args.cat and args.cat not in str(a.get("hlo_category", "")):
+            continue
         total += dur
-        if args.by_source:
-            a = ev.get("args", {})
+        if args.by_source or args.by_shape:
             src = a.get("source", "?")
             # Strip site-packages prefixes; keep repo-relative paths readable.
             for cut in ("/root/repo/", "site-packages/"):
@@ -64,6 +72,11 @@ def main(argv=None):
                     src = src.split(cut, 1)[1]
             cat = a.get("hlo_category", "?")
             name = f"{src} [{cat}]"
+            if args.by_shape:
+                import re
+
+                m = re.match(r"%\S+ = (\w+\[[\d,]*\])", a.get("long_name", ""))
+                name = f"{src} [{cat}] out={m.group(1) if m else '?'}"
         by_full[name][0] += dur
         by_full[name][1] += 1
 
