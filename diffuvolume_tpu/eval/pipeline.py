@@ -236,6 +236,12 @@ def _pcw_stages(baseline_model, ddim_model, cfg: DDIMConfig,
                 baseline_model, ddim_model, baseline_vars, ddim_vars,
                 left, right,
             )
+            if not packed:
+                # Module-path sampler needs the dense combine volume.
+                from diffuvolume_tpu.ops.pallas.conv3d import unpack_padded_k
+
+                combine = unpack_padded_k(
+                    combine.pk, cfg.num_bins, h4, w4, 32, tile_h=8)
         else:
             baseline_disp = baseline_model.apply(
                 baseline_vars, left, right, train=False

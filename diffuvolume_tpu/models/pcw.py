@@ -14,7 +14,7 @@ align_corners=True throughout (pwcnet_ddim.py:480).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -483,6 +483,194 @@ def _hourglass_mish_packed(model, variables, name, pk_in, h4, w4, th,
                           interpret=interpret)
 
 
+class PackedCombine(NamedTuple):
+    """Scan-invariant packed combine volume (r5): built once by
+    _pcw_build_packed; each DDIM step multiplies its noise in via
+    packed_dhw_mul_k(c_slot=32) instead of re-packing 47 MB."""
+
+    pk: jax.Array
+
+
+def _hourglass_up_packed(model, variables, cost0_pk, fl, fr, h4, w4,
+                         interpret=False):
+    """HourglassUp on the packed kernel family (models/pcw.py:142-183,
+    reference pwcnet_ddim.py:131-205).
+
+    The cross-scale concat-then-conv fusions run as kernel-sliced piece
+    convs with residual accumulation (conv(concat(a, b), k) =
+    conv(a, k[:Ca]) + conv(b, k[Ca:]) — exact by linearity); v2/v3 are
+    built directly packed by gwc_volume_packed (v3 at slot=128 so its
+    64-real-channel piece conv runs with a zero-padded kernel, dodging the
+    co > c limitation).  Only the 1/32 sub-branch (conv5→conv7 at
+    (6, H/32, W/32) — ~1% of the volume) runs as an XLA island.
+    """
+    from diffuvolume_tpu.models.acv import (
+        _fold_convbn_tree,
+        _fold_deconv_tree,
+    )
+    from diffuvolume_tpu.ops.cost_volume import (
+        build_concat_volume,
+        build_gwc_volume,
+    )
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        conv1x1_fold_p,
+        conv3d_fold_p,
+        conv3d_fold_s2,
+        conv3d_fold_up,
+        pack_padded_k,
+        unpack_padded_k,
+    )
+    from diffuvolume_tpu.ops.pallas.gwc_volume import gwc_volume_packed
+
+    dt = model.dtype
+    mish = model.act == "mish"
+    act_kw = dict(mish=mish, relu=not mish)
+    hp = variables["params"]["combine1"]
+    hbs = variables["batch_stats"]["combine1"]
+    md = model.max_disp
+    h8, w8, h16, w16 = h4 // 2, w4 // 2, h4 // 4, w4 // 4
+    g = model.num_groups
+
+    def vol_pk(scale_key, concat_key, d, slot, th):
+        return gwc_volume_packed(
+            fl[scale_key], fr[scale_key], d, g, tile_h=th,
+            interpret=interpret, c_slot=slot,
+            cat_l=fl[concat_key] if model.use_concat_volume else None,
+            cat_r=fr[concat_key] if model.use_concat_volume else None,
+            mask_ref=True,
+        )
+
+    v2_pk = vol_pk("gw2", "concat2", md // 8, 64, 4)
+    v3_pk = vol_pk("gw3", "concat3", md // 16, 128, 2)
+
+    c1 = conv3d_fold_s2(cost0_pk, hp["conv1"]["kernel"].astype(dt), None,
+                        relu=False, w_real=w4, h_real=h4, tile_h=8,
+                        interpret=interpret)
+    kc1, bc1 = _fold_convbn_tree(hp["combine1"], hbs["combine1"])
+    rb = conv3d_fold_p(v2_pk, kc1[:, :, :, 64:, :].astype(dt), None,
+                       relu=False, w_real=w8, h_real=h8, tile_h=4,
+                       interpret=interpret)
+    c1 = conv3d_fold_p(c1, kc1[:, :, :, :64, :].astype(dt), bc1,
+                       residual=rb, w_real=w8, h_real=h8, tile_h=4,
+                       interpret=interpret, **act_kw)
+    k2, b2 = _fold_convbn_tree(hp["conv2"], hbs["conv2"])
+    c2 = conv3d_fold_p(c1, k2.astype(dt), b2, w_real=w8, h_real=h8,
+                       tile_h=4, interpret=interpret, **act_kw)
+
+    c3 = conv3d_fold_s2(c2, hp["conv3"]["kernel"].astype(dt), None,
+                        relu=False, w_real=w8, h_real=h8, tile_h=4,
+                        interpret=interpret)
+    kc2, bc2 = _fold_convbn_tree(hp["combine2"], hbs["combine2"])
+    kb = jnp.pad(kc2[:, :, :, 128:, :], ((0, 0),) * 3 + ((0, 64), (0, 0)))
+    rb = conv3d_fold_p(v3_pk, kb.astype(dt), None, relu=False,
+                       w_real=w16, h_real=h16, tile_h=2, interpret=interpret)
+    c3 = conv3d_fold_p(c3, kc2[:, :, :, :128, :].astype(dt), bc2,
+                       residual=rb, w_real=w16, h_real=h16, tile_h=2,
+                       interpret=interpret, **act_kw)
+    k4, b4 = _fold_convbn_tree(hp["conv4"], hbs["conv4"])
+    c4 = conv3d_fold_p(c3, k4.astype(dt), b4, w_real=w16, h_real=h16,
+                       tile_h=2, interpret=interpret, **act_kw)
+
+    # ---- 1/32 sub-branch: XLA island (tiny — (6, H/32, W/32)) ----
+    act = _ACTS[model.act]
+    x4 = unpack_padded_k(c4, md // 16, h16, w16, 128, tile_h=2,
+                         interpret=interpret)
+
+    def conv3(x, k, stride=1):
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), k.astype(dt), (stride,) * 3, [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    gwc4 = build_gwc_volume(fl["gw4"], fr["gw4"], md // 32, g)
+    v4 = gwc4
+    if model.use_concat_volume:
+        v4 = jnp.concatenate(
+            [gwc4, build_concat_volume(fl["concat4"], fr["concat4"],
+                                       md // 32, mask_ref=True)], axis=-1)
+    c5 = conv3(x4, hp["conv5"]["kernel"], 2)
+    kc3, bc3 = _fold_convbn_tree(hp["combine3"], hbs["combine3"])
+    c5 = act(conv3(jnp.concatenate([c5, v4.astype(dt)], -1), kc3) + bc3.astype(dt))
+    k6, b6 = _fold_convbn_tree(hp["conv6"], hbs["conv6"])
+    c6 = act(conv3(c5, k6) + b6.astype(dt))
+    k7, b7 = _fold_deconv_tree(hp["conv7"], hbs["conv7"])
+    y7 = jax.lax.conv_general_dilated(
+        c6, k7.astype(dt), (1, 1, 1), [(1, 2)] * 3, lhs_dilation=(2, 2, 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b7.astype(dt)
+    kr3, br3 = _fold_convbn_tree(hp["redir3"], hbs["redir3"])
+    r3 = jnp.einsum("bdhwc,co->bdhwo", x4.astype(dt),
+                    kr3[0, 0, 0].astype(dt)) + br3.astype(dt)
+    a7 = act(y7 + r3)
+    pk7 = pack_padded_k(a7.astype(dt), tile_h=2, interpret=interpret)
+
+    kr2, br2 = _fold_convbn_tree(hp["redir2"], hbs["redir2"])
+    r2 = conv1x1_fold_p(c2, kr2.astype(dt), br2, w_real=w8, h_real=h8,
+                        tile_h=4, interpret=interpret)
+    k8, b8 = _fold_deconv_tree(hp["conv8"], hbs["conv8"])
+    c8 = conv3d_fold_up(pk7, k8.astype(dt), b8, residual=r2,
+                        w_real=w16, h_real=h16, tile_h=2,
+                        interpret=interpret, **act_kw)
+
+    kr1, br1 = _fold_convbn_tree(hp["redir1"], hbs["redir1"])
+    r1 = conv1x1_fold_p(cost0_pk, kr1.astype(dt), br1, w_real=w4, h_real=h4,
+                        tile_h=8, interpret=interpret)
+    k9, b9 = _fold_deconv_tree(hp["conv9"], hbs["conv9"])
+    return conv3d_fold_up(c8, k9.astype(dt), b9, residual=r1,
+                          w_real=w8, h_real=h8, tile_h=4,
+                          interpret=interpret, **act_kw)
+
+
+def _pcw_build_packed(model, variables, left, right, interpret=False):
+    """build_cost_volume with the whole dres chain + HourglassUp on the
+    packed family (r5).  The r5 A/B measured the PARTIAL config (packed
+    aggregation, XLA build) at 1.77 pairs/s vs 2.13 all-XLA — the build's
+    lhs-dilated deconvs and dres convs collapse once a custom-call consumer
+    appears, so the build must be all-or-nothing too.
+
+    Returns ``(combine_pk, fl, fr)``.
+    """
+    from diffuvolume_tpu.models.acv import _fold_convbn_tree
+    from diffuvolume_tpu.ops.pallas.conv3d import conv3d_fold_p, conv3d_fold_x2
+    from diffuvolume_tpu.ops.pallas.gwc_volume import gwc_volume_packed
+
+    dt = model.dtype
+    mish = model.act == "mish"
+    act_kw = dict(mish=mish, relu=not mish)
+    b = left.shape[0]
+    h4, w4 = left.shape[1] // 4, left.shape[2] // 4
+    p_ = variables["params"]
+    bs = variables["batch_stats"]
+
+    feat = model.apply(
+        variables, jnp.concatenate([left, right], axis=0),
+        method=lambda m, x: m.feature_extraction(x, False))
+    fl = {k: v[:b] for k, v in feat.items()}
+    fr = {k: v[b:] for k, v in feat.items()}
+
+    v1_pk = gwc_volume_packed(
+        fl["gw1"], fr["gw1"], model.max_disp // 4, model.num_groups,
+        tile_h=8, interpret=interpret, c_slot=64,
+        cat_l=fl["concat1"] if model.use_concat_volume else None,
+        cat_r=fr["concat1"] if model.use_concat_volume else None,
+        mask_ref=True,
+    )
+    k00, b00 = _fold_convbn_tree(p_["dres0_0"], bs["dres0_0"])
+    pk = conv3d_fold_x2(v1_pk, k00.astype(dt), b00, w_real=w4, h_real=h4,
+                        tile_h=8, interpret=interpret, **act_kw)
+    k01, b01 = _fold_convbn_tree(p_["dres0_1"], bs["dres0_1"])
+    pk_y = conv3d_fold_p(pk, k01.astype(dt), b01, w_real=w4, h_real=h4,
+                         tile_h=8, interpret=interpret, **act_kw)
+    k10, b10 = _fold_convbn_tree(p_["dres1_0"], bs["dres1_0"])
+    pk_z = conv3d_fold_p(pk_y, k10.astype(dt), b10, w_real=w4, h_real=h4,
+                         tile_h=8, interpret=interpret, **act_kw)
+    k11, b11 = _fold_convbn_tree(p_["dres1_1"], bs["dres1_1"])
+    cost0_pk = conv3d_fold_p(pk_z, k11.astype(dt), b11, relu=False,
+                             residual=pk_y, w_real=w4, h_real=h4, tile_h=8,
+                             interpret=interpret)
+    combine_pk = _hourglass_up_packed(model, variables, cost0_pk, fl, fr,
+                                      h4, w4, interpret=interpret)
+    return combine_pk, fl, fr
+
+
 def _refine_flat(model, variables, pred3, fl, fr, out_hw, interpret=False):
     """RefineNetV3 with every 3×3 conv on the Pallas conv2d_flat kernel
     (BN folded f32; Mish/act + residual adds stay XLA elementwise; the 1×1
@@ -583,7 +771,7 @@ def pcw_denoise_fast(
 
 
 def _pcw_aggregate_packed(model, variables, combine_volume, fl, fr, out_hw,
-                          noise=None, interpret=False):
+                          noise=None, interpret=False, want_unc=True):
     """The packed PCW aggregation pass: (noise ⊙) combine → dres2/3/4 Mish
     hourglasses → classif3 head → warp refinement.  Shared by the DDIM
     denoise step (noise ≠ None) and the frozen-baseline eval forward
@@ -604,14 +792,27 @@ def _pcw_aggregate_packed(model, variables, combine_volume, fl, fr, out_hw,
     )
 
     dt = model.dtype
-    b, d, h4, w4, _ = combine_volume.shape
+    d = model.max_disp // 4
     th = 8
     mish = model.act == "mish"
 
-    pk = pack_padded_k(
-        combine_volume, th, interpret=interpret,
-        noise=None if noise is None else noise.astype(combine_volume.dtype),
-    )
+    if isinstance(combine_volume, PackedCombine):
+        from diffuvolume_tpu.ops.pallas.conv3d import packed_dhw_mul_k
+
+        h4, w4 = out_hw[0] // 4, out_hw[1] // 4
+        if noise is None:
+            pk = combine_volume.pk
+        else:
+            pk = packed_dhw_mul_k(
+                combine_volume.pk, noise, c_slot=32, max_disp=d, tile_h=th,
+                interpret=interpret,
+            )
+    else:
+        b, d, h4, w4, _ = combine_volume.shape
+        pk = pack_padded_k(
+            combine_volume, th, interpret=interpret,
+            noise=None if noise is None else noise.astype(combine_volume.dtype),
+        )
 
     pk = _hourglass_mish_packed(model, variables, "dres2", pk, h4, w4, th,
                                 interpret)
@@ -641,13 +842,18 @@ def _pcw_aggregate_packed(model, variables, combine_volume, fl, fr, out_hw,
         # in-program vs 3.5 standalone).  Measured r4: 2.1311 vs 2.1315 —
         # NO effect; the inflation is not barrier-breakable fusion context.
         pred3_r = jax.lax.optimization_barrier(pred3)
-    if os.environ.get("DIFFU_PCW_REFINE_FLAT", "1") == "1":
+    # MEASURED r5 (bench_pcw A/B at HEAD-1): flat refine 1.814 vs module
+    # 2.13 pairs/s with everything else all-XLA — conv2d_flat IN-PROGRAM is
+    # a ~27 ms/step REGRESSION despite the 3.99-vs-5.4 standalone numbers
+    # (the dilated convs' (th+2d)-row windows + island poisoning).  The r4
+    # park stands; default OFF, kept as the wired A/B the verdict ordered.
+    if os.environ.get("DIFFU_PCW_REFINE_FLAT", "0") == "1":
         disp_finetune = _refine_flat(model, variables, pred3_r, fl, fr,
                                      out_hw, interpret=interpret)
     else:
         disp_finetune = model.apply(variables, pred3_r, fl, fr, out_hw, False,
                                     method=PCWNet.refine)
-    if os.environ.get("DIFFU_PCW_APPROX_UNC", "0") != "1":
+    if want_unc and os.environ.get("DIFFU_PCW_APPROX_UNC", "0") != "1":
         unc3 = fused_uncertainty_at(
             cost3, disp_finetune, model.max_disp, out_hw,
             align_corners=True, interpret=interpret or None,
@@ -665,12 +871,11 @@ def pcw_prep_fast(baseline_model, ddim_model, baseline_vars, ddim_vars,
     CLAUDE.md r5 notes).  Returns ``(baseline_disp, combine, fl, fr)``.
     """
     out_hw = (left.shape[1], left.shape[2])
-    combine_b, _, fl_b, fr_b = baseline_model.apply(
-        baseline_vars, left, right, train=False,
-        method=PCWNet.build_cost_volume)
+    combine_b, fl_b, fr_b = _pcw_build_packed(
+        baseline_model, baseline_vars, left, right, interpret=interpret)
     baseline_disp, _ = _pcw_aggregate_packed(
-        baseline_model, baseline_vars, combine_b, fl_b, fr_b, out_hw,
-        interpret=interpret)
-    combine, _, fl, fr = ddim_model.apply(
-        ddim_vars, left, right, train=False, method=PCWNet.build_cost_volume)
-    return baseline_disp, combine, fl, fr
+        baseline_model, baseline_vars, PackedCombine(combine_b), fl_b, fr_b,
+        out_hw, interpret=interpret, want_unc=False)
+    combine, fl, fr = _pcw_build_packed(
+        ddim_model, ddim_vars, left, right, interpret=interpret)
+    return baseline_disp, PackedCombine(combine), fl, fr

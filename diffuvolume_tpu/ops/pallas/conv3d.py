@@ -1293,7 +1293,9 @@ def _banded_weights_x2(k3: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "w_real", "h_real", "tile_h", "interpret")
+    jax.jit,
+    static_argnames=("relu", "leaky", "mish", "w_real", "h_real", "tile_h",
+                     "interpret"),
 )
 def conv3d_fold_x2(
     pk64: jax.Array,
@@ -1305,6 +1307,8 @@ def conv3d_fold_x2(
     h_real: int,
     tile_h: int = 8,
     interpret: bool = False,
+    leaky: float | None = None,
+    mish: bool = False,
 ) -> jax.Array:
     """3×3×3 conv, 64-ch packed-padded in → 32-ch packed-padded out.
 
@@ -1372,8 +1376,7 @@ def conv3d_fold_x2(
                     preferred_element_type=jnp.float32,
                 )
         acc += b_ref[0].astype(jnp.float32)
-        if relu:
-            acc = jnp.maximum(acc, 0.0)
+        acc = _apply_act(acc, relu, leaky, mish)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
         col = ridx % wp
         row = ridx // wp

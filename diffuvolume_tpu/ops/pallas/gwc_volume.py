@@ -126,7 +126,8 @@ def gwc_volume_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_disp", "num_groups", "tile_h", "interpret", "c_slot"),
+    static_argnames=("max_disp", "num_groups", "tile_h", "interpret", "c_slot",
+                     "mask_ref"),
 )
 def gwc_volume_packed(
     left: jax.Array,
@@ -136,6 +137,9 @@ def gwc_volume_packed(
     tile_h: int = 8,
     interpret: bool = False,
     c_slot: int | None = None,
+    cat_l: jax.Array | None = None,
+    cat_r: jax.Array | None = None,
+    mask_ref: bool = False,
 ) -> jax.Array:
     """Group-wise correlation volume built DIRECTLY in the packed-padded
     lane geometry (r4, for the IGEV packed GEV tower).
@@ -160,9 +164,15 @@ def gwc_volume_packed(
     # into 64-lane slots (p=2) so the packed patch/x2 chain consumes it
     # directly (the XLA gwc build + separate c_slot pack measured
     # 20.2 + 3.3 ms/prep once layout-poisoned by the custom-call consumer).
+    # cat_l/cat_r (r5, PCW): fuse the concat-volume halves into the slot —
+    # lanes per phase = [gwc G | cat_l cc | cat_r(shifted) cc | zero pad],
+    # matching jnp.concatenate([gwc, build_concat_volume(cat_l, cat_r,
+    # mask_ref=...)], -1) (models/pcw.py::build_cost_volume's v1..v3).
+    cc = 0 if cat_l is None else cat_l.shape[-1]
     slot = g if c_slot is None else c_slot
     p = 128 // slot
-    assert slot * p == 128 and max_disp % p == 0 and slot >= g, (g, slot)
+    assert slot * p == 128 and max_disp % p == 0 and slot >= g + 2 * cc, (
+        g, cc, slot)
     cells = max_disp // p
     th = tile_h
     # Wide-C inputs (ACV: C=320) blow the scoped-VMEM stack at hk=8 rows
@@ -176,7 +186,8 @@ def gwc_volume_packed(
     cpg = c // g
     assert cpg * g == c, (c, g)
 
-    pm = np.zeros((c, slot), np.float32)
+    corr_w = slot if cc == 0 else g
+    pm = np.zeros((c, corr_w), np.float32)
     for gi in range(g):
         pm[gi * cpg : (gi + 1) * cpg, gi] = 1.0 / cpg
     pmat = jnp.asarray(pm, left.dtype)
@@ -184,18 +195,34 @@ def gwc_volume_packed(
     n_hk = h // hk
     grid = (b, (n_tiles + 2) * s_split)
 
-    def io_spec():
+    def io_spec(ch):
         return pl.BlockSpec(
-            (1, hk, w, c),
+            (1, hk, w, ch),
             lambda bi, gi: (bi, jnp.clip(gi - s_split, 0, n_hk - 1), 0, 0),
         )
 
-    def body(l_ref, r_ref, p_ref, o_ref):
+    inputs = [left, right, pmat]
+    in_specs = [
+        io_spec(c), io_spec(c),
+        pl.BlockSpec((c, corr_w), lambda bi, gi: (0, 0)),
+    ]
+    if cc:
+        inputs += [cat_l, cat_r]
+        in_specs += [io_spec(cc), io_spec(cc)]
+
+    def body(*args):
+        if cc:
+            l_ref, r_ref, p_ref, kl_ref, kr_ref, o_ref = args
+        else:
+            l_ref, r_ref, p_ref, o_ref = args
         gi = pl.program_id(1)
         interior = (gi >= s_split) & (gi < s_split + n_hk)
         m = hk * w
         l = l_ref[0].reshape(m, c)
         r = r_ref[0].reshape(m, c)
+        if cc:
+            kl = kl_ref[0].reshape(m, cc)
+            kr = kr_ref[0].reshape(m, cc)
         colv = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % w
         scale = jnp.where(interior, 1.0, 0.0)
         for cell in range(cells):
@@ -214,10 +241,23 @@ def gwc_volume_packed(
                     l * shifted, p_ref[...],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (m, G)
-                pieces.append(
-                    jnp.where(colv >= d, corr, 0.0).astype(o_ref.dtype)
-                )
+                )  # (m, corr_w)
+                piece = jnp.where(colv >= d, corr, 0.0).astype(o_ref.dtype)
+                if cc:
+                    krs = (
+                        jnp.concatenate([kr[m - d :], kr[: m - d]], axis=0)
+                        if d
+                        else kr
+                    )
+                    krs = jnp.where(colv >= d, krs, 0.0)
+                    klm = jnp.where(colv >= d, kl, 0.0) if mask_ref else kl
+                    piece = jnp.concatenate(
+                        [piece, klm.astype(piece.dtype),
+                         krs.astype(piece.dtype)], axis=-1)
+                    if slot > g + 2 * cc:
+                        piece = jnp.pad(
+                            piece, ((0, 0), (0, slot - g - 2 * cc)))
+                pieces.append(piece)
             tile = jnp.concatenate(pieces, axis=-1).reshape(hk, w, 128)
             tile = jnp.pad(tile, ((0, 0), (1, wp - w - 1), (0, 0)))
             o_ref[0, cell + 1] = tile * scale.astype(o_ref.dtype)
@@ -225,16 +265,10 @@ def gwc_volume_packed(
         o_ref[0, 0] = zero
         o_ref[0, cells + 1] = zero
 
-    from diffuvolume_tpu.ops.pallas.conv3d import _VMEM_LIMIT
-
     return pl.pallas_call(
         body,
         grid=grid,
-        in_specs=[
-            io_spec(),
-            io_spec(),
-            pl.BlockSpec((c, slot), lambda bi, gi: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, cells + 2, hk, wp, 128), lambda bi, gi: (bi, 0, gi, 0, 0)
         ),
@@ -246,4 +280,4 @@ def gwc_volume_packed(
             vmem_limit_bytes=64 * 1024 * 1024,
             dimension_semantics=("parallel", "parallel"),
         ),
-    )(left, right, pmat)
+    )(*inputs)

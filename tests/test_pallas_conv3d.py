@@ -478,15 +478,20 @@ def test_pcw_prep_fast_matches_module():
     want_disp = base.apply(base_vars, left, right, train=False)[0][0]
     want_vol, _, _, _ = ddim.apply(ddim_vars, left, right, train=False,
                                    method=PCWNet.build_cost_volume)
-    got_disp, got_vol, _, _ = pcw_prep_fast(base, ddim, base_vars, ddim_vars,
-                                            left, right, interpret=True)
-    # Random-init refine residuals are ~1e7; compare magnitude-normalized
-    # (a raw atol trips on fp accumulation-order noise).
+    got_disp, got_pc, _, _ = pcw_prep_fast(base, ddim, base_vars, ddim_vars,
+                                           left, right, interpret=True)
+    from diffuvolume_tpu.ops.pallas.conv3d import unpack_padded_k
+
+    got_vol = unpack_padded_k(got_pc.pk, md // 4, h // 4, w // 4, 32,
+                              tile_h=8, interpret=True)
+    # Random-init magnitudes are ~1e7-1e9 (BN-folded vs conv+BN order);
+    # compare magnitude-normalized (raw rtol trips on fp accumulation noise).
     gd, wd = np.asarray(got_disp), np.asarray(want_disp)
     assert np.max(np.abs(gd - wd)) / np.max(np.abs(wd)) < 1e-2, (
         "pcw prep fast baseline disp diverged")
-    np.testing.assert_allclose(np.asarray(got_vol), np.asarray(want_vol),
-                               rtol=1e-5, atol=1e-5)
+    gv, wv = np.asarray(got_vol), np.asarray(want_vol)
+    assert np.max(np.abs(gv - wv)) / np.max(np.abs(wv)) < 1e-4, (
+        "pcw packed build combine volume diverged")
 
 
 def test_packed_dhw_mul_and_pkcat_entry():
