@@ -277,7 +277,9 @@ def gwc_volume_packed(
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # 80 MB: the PCW v1 shape (96,312,320 + 12-ch cat refs, hk=4)
+            # measured a 65.6 MB stack — 1.6 MB over the family's 64 MB.
+            vmem_limit_bytes=80 * 1024 * 1024,
             dimension_semantics=("parallel", "parallel"),
         ),
     )(*inputs)
