@@ -171,8 +171,21 @@ def ab_pcw(args):
 
     got_m, ms_m = _timed("module", run_m, args_fn, args.reps, perturb)
     got_p, ms_p = _timed("packed", run_p, args_fn, args.reps, perturb)
-    ok = _report(("disp", "unc", "noise"), got_p, got_m,
-                 {"disp": (0.5, 2.5), "unc": (0.5, None), "noise": (1e-3, None)})
+    # PCW's disp_finetune passes through the UNNORMALIZED RefineNetV3: at
+    # random init its residual is ~1e10, and bf16 softargmin bin flips feed
+    # that amplifier — absolute-px bounds are meaningless here (measured r5:
+    # values ~6e10, mean|Δ|/mean|ref| 0.075).  Compare RELATIVE for
+    # disp/unc; the noise branch (time-embed path) stays absolute-tight.
+    # Exactness is pinned by the f32 interpret tests.
+    ok = True
+    for name, a, b in zip(("disp", "unc"), got_p[:2], got_m[:2]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = float(np.abs(a - b).mean() / max(np.abs(b).mean(), 1e-9))
+        print(f"A/B {name}: mean|Δ|/mean|ref| {rel:.4g}", flush=True)
+        ok &= rel < 0.15
+    ok &= _report(("noise",), (got_p[2],), (got_m[2],),
+                  {"noise": (1e-3, None)})
     print(f"packed {ms_p:.2f} ms vs module {ms_m:.2f} ms  "
           f"({ms_m / max(ms_p, 1e-9):.2f}x)  parity={'OK' if ok else 'FAIL'}",
           flush=True)
