@@ -8,6 +8,7 @@ than a general gather on TPU.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -152,6 +153,16 @@ def warp_right_to_left(right: jax.Array, disp: jax.Array) -> jax.Array:
     source coordinate is ``c * S/(S-1) - 0.5`` per axis.  A validity mask
     (warped ones < 0.999 → 0) multiplies the output.
 
+    TPU path (r5): the quirk's y source coordinate depends only on the ROW
+    INDEX — data-independent — so the 2-D bilinear decomposes exactly into
+    a static two-row blend (trace-time weights) followed by ONE 1-D hat
+    contraction along the scanline (hat_sample_last2, the gather-free MXU
+    form), with the ones-warp mask computed analytically (the hat kernel's
+    edge partial sums in closed form).  The take_along_axis form measured
+    8 × 5.19 ms per PCW refine at 384×1248 (general 2-D gathers); this
+    form is a ~38 GF batched matmul.  ``DIFFU_WARP_GATHER=1`` restores the
+    gather path for A/B.
+
     Args:
       right: ``(B, H, W, C)``.
       disp: ``(B, H, W)`` left-view disparity.
@@ -159,16 +170,46 @@ def warp_right_to_left(right: jax.Array, disp: jax.Array) -> jax.Array:
     Returns:
       ``(B, H, W, C)`` warped-and-masked right features.
     """
+    import os
+
     b, h, w, c = right.shape
     xx = jnp.arange(w, dtype=disp.dtype)[None, None, :]
-    yy = jnp.arange(h, dtype=disp.dtype)[None, :, None]
     x_src = (xx - disp) * (w / max(w - 1, 1)) - 0.5
-    y_src = jnp.broadcast_to(yy * (h / max(h - 1, 1)) - 0.5, disp.shape)
-    out = grid_sample_2d(right, x_src, y_src, zero_pad=True)
-    ones = jnp.ones_like(right)
-    mask = grid_sample_2d(ones, x_src, y_src, zero_pad=True)
-    mask = jnp.where(mask < 0.999, 0.0, 1.0)
-    return out * mask
+    if os.environ.get("DIFFU_WARP_GATHER", "0") == "1":
+        yy = jnp.arange(h, dtype=disp.dtype)[None, :, None]
+        y_src = jnp.broadcast_to(yy * (h / max(h - 1, 1)) - 0.5, disp.shape)
+        out = grid_sample_2d(right, x_src, y_src, zero_pad=True)
+        ones = jnp.ones_like(right)
+        mask = grid_sample_2d(ones, x_src, y_src, zero_pad=True)
+        mask = jnp.where(mask < 0.999, 0.0, 1.0)
+        return out * mask
+
+    # Static per-row y taps (numpy at trace time).
+    y_src = np.arange(h, dtype=np.float64) * (h / max(h - 1, 1)) - 0.5
+    y0 = np.floor(y_src).astype(np.int64)
+    fy = (y_src - y0).astype(np.float32)
+    in0 = (y0 >= 0) & (y0 <= h - 1)
+    in1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+    w0 = np.where(in0, 1.0 - fy, 0.0).astype(np.float32)
+    w1 = np.where(in1, fy, 0.0).astype(np.float32)
+    r0 = jnp.take(right, jnp.asarray(np.clip(y0, 0, h - 1)), axis=1)
+    r1 = jnp.take(right, jnp.asarray(np.clip(y0 + 1, 0, h - 1)), axis=1)
+    w0j = jnp.asarray(w0)[None, :, None, None].astype(right.dtype)
+    w1j = jnp.asarray(w1)[None, :, None, None].astype(right.dtype)
+    blended = r0 * w0j + r1 * w1j  # (B, H, W, C)
+
+    out = hat_sample_last2(blended[:, :, None], x_src[:, :, None])[:, :, 0]
+
+    # Analytic ones-warp: Σ_v hat(x − v) over v ∈ [0, W) is 1 inside,
+    # 1+x / W−x on the half-open borders, 0 outside; times the y-tap sum.
+    xs = x_src.astype(jnp.float32)
+    hatsum_x = jnp.clip(
+        jnp.minimum(xs + 1.0, jnp.asarray(float(w), jnp.float32) - xs),
+        0.0, 1.0,
+    )
+    ysum = jnp.asarray(w0 + w1)[None, :, None]
+    mask = jnp.where(hatsum_x * ysum < 0.999, 0.0, 1.0)
+    return out * mask.astype(out.dtype)[..., None]
 
 
 def coords_grid(batch: int, h: int, w: int) -> jax.Array:
