@@ -640,11 +640,21 @@ def _pcw_build_packed(model, variables, left, right, interpret=False):
     p_ = variables["params"]
     bs = variables["batch_stats"]
 
-    feat = model.apply(
-        variables, jnp.concatenate([left, right], axis=0),
-        method=lambda m, x: m.feature_extraction(x, False))
-    fl = {k: v[:b] for k, v in feat.items()}
-    fr = {k: v[b:] for k, v in feat.items()}
+    import os
+
+    # 2B trunk batching A/B: helped IGEV (r3) but LOST ~9 ms for ACV in the
+    # packed-prep context (r5) — measure per-backbone.
+    if os.environ.get("DIFFU_PCW_PREP_B2", "1") == "1":
+        feat = model.apply(
+            variables, jnp.concatenate([left, right], axis=0),
+            method=lambda m, x: m.feature_extraction(x, False))
+        fl = {k: v[:b] for k, v in feat.items()}
+        fr = {k: v[b:] for k, v in feat.items()}
+    else:
+        fl = model.apply(variables, left,
+                         method=lambda m, x: m.feature_extraction(x, False))
+        fr = model.apply(variables, right,
+                         method=lambda m, x: m.feature_extraction(x, False))
 
     v1_pk = gwc_volume_packed(
         fl["gw1"], fr["gw1"], model.max_disp // 4, model.num_groups,
