@@ -529,3 +529,24 @@ def test_packed_dhw_mul_and_pkcat_entry():
     np.testing.assert_allclose(
         np.asarray(got1), np.asarray(pack_padded(vol * att[..., None], 8)),
         atol=1e-5)
+
+
+def test_packed_dhw_mul_c_slot32():
+    """packed_dhw_mul_k at c_slot=32 (p=4 — the PCW scan's noise multiply)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffuvolume_tpu.ops.pallas.conv3d import (
+        pack_padded, pack_padded_k, packed_dhw_mul_k,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    b, d, h, w, c = 1, 16, 16, 22, 32
+    x = jax.random.normal(rng, (b, d, h, w, c))
+    noise = jax.random.uniform(jax.random.fold_in(rng, 1), (b, d, h, w))
+    pk = pack_padded_k(x, tile_h=8, interpret=True)
+    got = packed_dhw_mul_k(pk, noise, None, c_slot=32, max_disp=d, tile_h=8,
+                           interpret=True)
+    want = pack_padded(x * noise[..., None], tile_h=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
